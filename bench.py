@@ -1,0 +1,106 @@
+"""Benchmark: training-step throughput of the full NeRF-DS model.
+
+Measures rays/s/chip (forward + backward, 128 samples/ray, full shipped
+architecture) of the compiled training step, and the speedup over the
+*reference execution pattern* — the same math with the per-point
+vmap(vmap(value_and_grad)) σ-gradient the reference uses
+(``/root/reference/hypernerf/models.py:1065-1073``) — measured on the same
+hardware. Prints ONE JSON line.
+
+Usage: python bench.py [--quick] [--batch N] [--no-baseline]
+"""
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(batch_size: int, naive: bool):
+  from nerfds_tpu import config as config_lib
+  from nerfds_tpu.models import NerfDSModel
+  from nerfds_tpu.training import TrainState, make_train_step
+
+  cfg = config_lib.nerf_ds()  # full shipped architecture, 64 + 64 samples
+  if naive:
+    cfg = dataclasses.replace(cfg, naive_per_point_gradient=True)
+  model = NerfDSModel(config=cfg, num_warp_embeds=64, num_hyper_embeds=64,
+                      near=0.2, far=2.0)
+  train_cfg = config_lib.nerf_ds_train_config(batch_size=batch_size)
+  params = jax.jit(model.init)(jax.random.PRNGKey(0))
+  state = TrainState.create(params)
+  step_fn = make_train_step(model, train_cfg, donate=False)
+
+  rng = np.random.RandomState(0)
+  directions = rng.randn(batch_size, 3).astype(np.float32)
+  directions /= np.linalg.norm(directions, axis=-1, keepdims=True)
+  batch = {
+      'origins': jnp.asarray(
+          rng.randn(batch_size, 3).astype(np.float32) * 0.1),
+      'directions': jnp.asarray(directions),
+      'rgb': jnp.asarray(rng.rand(batch_size, 3).astype(np.float32)),
+      'metadata': {'warp': jnp.asarray(
+          rng.randint(0, 64, (batch_size, 1)), jnp.int32)},
+      'mask': jnp.asarray(rng.rand(batch_size, 1).astype(np.float32)),
+  }
+  return state, step_fn, batch
+
+
+def time_steps(state, step_fn, batch, warmup: int, iters: int) -> float:
+  """Seconds per step (median of timed iterations)."""
+  key = jax.random.PRNGKey(0)
+  for i in range(warmup):
+    state, _ = step_fn(state, batch, jax.random.fold_in(key, i))
+  jax.block_until_ready(state.params)
+  times = []
+  for i in range(iters):
+    t0 = time.perf_counter()
+    state, _ = step_fn(state, batch, jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(state.params)
+    times.append(time.perf_counter() - t0)
+  return float(np.median(times))
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--quick', action='store_true')
+  parser.add_argument('--batch', type=int, default=2048)
+  parser.add_argument('--no-baseline', action='store_true')
+  args = parser.parse_args()
+
+  n_chips = jax.device_count()
+  warmup, iters = (2, 5) if args.quick else (5, 20)
+
+  state, step_fn, batch = build(args.batch, naive=False)
+  sec = time_steps(state, step_fn, batch, warmup, iters)
+  rays_per_sec_per_chip = args.batch / sec / n_chips
+
+  vs_baseline = None
+  if not args.no_baseline:
+    # Reference execution pattern at the reference's own batch size (512 —
+    # the per-point vmap pattern OOMs/levels off at larger batches).
+    ref_batch = 512
+    try:
+      state_n, step_n, batch_n = build(ref_batch, naive=True)
+      sec_n = time_steps(state_n, step_n, batch_n, max(1, warmup // 2),
+                         max(3, iters // 4))
+      ref_rays = ref_batch / sec_n / n_chips
+      vs_baseline = rays_per_sec_per_chip / ref_rays
+    except Exception as e:  # baseline pattern may fail to compile somewhere
+      print(f'baseline-pattern bench failed: {e!r}', file=sys.stderr)
+
+  result = {
+      'metric': 'train_rays_per_sec_per_chip_fwd_bwd_128spr',
+      'value': round(rays_per_sec_per_chip, 2),
+      'unit': 'rays/s/chip',
+      'vs_baseline': round(vs_baseline, 3) if vs_baseline else None,
+  }
+  print(json.dumps(result))
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,351 @@
+"""Typed configuration tree (replaces the reference's gin system).
+
+The reference configures ~60 ``NerfModel`` attributes plus train/eval/spec
+dataclasses through gin files (``configs/defaults.gin`` + ``nerf_ds.gin``,
+``hypernerf/configs.py``). Here the same knobs are frozen dataclasses —
+hashable, so they can be closed over / passed as static args to ``jit`` —
+with presets reproducing the shipped configurations:
+
+  * :func:`vanilla_nerf`  — BASELINE config[0]: static NeRF, no warp/hyper.
+  * :func:`hypernerf`     — config[1]/[2]: SE(3) warp + bendy-sheet hyper.
+  * :func:`nerf_ds`       — config[3]: the full shipped nerf_ds.gin setup.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+  """Static model architecture + feature flags (reference models.py:116-229
+  plus the SpecularConfig flags that gate the forward pass)."""
+  # NeRF rendering.
+  num_coarse_samples: int = 64
+  num_fine_samples: int = 64
+  use_stratified_sampling: bool = True
+  use_white_background: bool = False
+  use_linear_disparity: bool = False
+  use_sample_at_infinity: bool = True
+  noise_std: Optional[float] = None
+
+  # NeRF architecture.
+  nerf_trunk_depth: int = 8
+  nerf_trunk_width: int = 256
+  nerf_rgb_branch_depth: int = 1
+  nerf_rgb_branch_width: int = 128
+  nerf_skips: Tuple[int, ...] = (4,)
+  activation: str = 'relu'
+  sigma_activation: str = 'softplus'
+  use_viewdirs: bool = True
+
+  # Positional encodings.
+  spatial_point_min_deg: int = 0
+  spatial_point_max_deg: int = 8
+  hyper_point_min_deg: int = 0
+  hyper_point_max_deg: int = 1
+  viewdir_min_deg: int = 0
+  viewdir_max_deg: int = 4
+  use_posenc_identity: bool = False
+
+  # Appearance/camera metadata conditions (HyperNeRF "nerf embed").
+  use_nerf_embed: bool = False
+  nerf_embed_key: str = 'appearance'
+  nerf_embed_dims: int = 8
+  use_alpha_condition: bool = False
+  use_rgb_condition: bool = False
+
+  # Warp field.
+  use_warp: bool = False
+  warp_field_type: str = 'se3'        # 'se3' | 'translation'
+  warp_embed_key: str = 'warp'
+  warp_embed_dims: int = 8
+  warp_min_deg: int = 0
+  warp_max_deg: int = 8
+  se3_trunk_depth: int = 6
+  se3_trunk_width: int = 128
+  se3_skips: Tuple[int, ...] = (4,)
+
+  # Hyper (ambient) slicing.
+  hyper_slice_method: str = 'none'    # 'none' | 'axis_aligned_plane' | 'bendy_sheet'
+  hyper_num_dims: int = 2
+  hyper_embed_key: str = 'warp'
+  hyper_embed_dims: int = 8
+  hyper_use_warp_embed: bool = True
+  hyper_sheet_min_deg: int = 0
+  hyper_sheet_max_deg: int = 6
+  hyper_sheet_depth: int = 6
+  hyper_sheet_width: int = 64
+  hyper_sheet_skips: Tuple[int, ...] = (4,)
+  use_hyper_for_sigma: bool = True
+  use_hyper_for_rgb: bool = False
+
+  # Surface normals / specular branch.
+  predict_norm: bool = False
+  norm_supervision_type: str = 'warped'  # warped | canonical | direct | canonical_unwarped
+  stop_norm_gradient: bool = True
+  norm_input_posenc: bool = True
+  norm_input_min_deg: int = 0
+  norm_input_max_deg: int = 4
+  use_sigma_gradient: bool = False       # SpecularConfig.use_sigma_gradient
+  use_predicted_norm: bool = False       # SpecularConfig.use_predicted_norm
+  use_ref_radiance: bool = False
+  use_x_in_rgb_condition: bool = False
+  window_x_in_rgb_condition: bool = False
+  use_delta_x_in_rgb_condition: bool = False
+  x_for_rgb_min_deg: int = 0
+  x_for_rgb_max_deg: int = 4
+
+  # Mask guidance.
+  use_mask_in_warp: bool = False
+  use_mask_in_hyper: bool = False
+  use_mask_in_rgb: bool = False
+  use_predicted_mask: bool = False
+  use_mask_embed: bool = True
+  use_3d_mask: bool = False
+  mask_embed_dims: int = 8
+  mask_mlp_depth: int = 6
+  mask_mlp_width: int = 64
+  mask_min_deg: int = 0
+  mask_max_deg: int = 6
+  mask_skips: Tuple[int, ...] = (4,)
+  mask_output_activation: Optional[str] = 'relu'
+  clamp_predicted_mask: bool = False
+  use_coarse_depth_for_mask: bool = False
+  use_mask_scaled_weights: bool = False
+  use_mask_sharp_weights: bool = False
+  use_rgb_sharp_weights: bool = False
+
+  # Numerics.
+  matmul_precision: Optional[str] = None  # None (fast) | 'highest' (parity)
+  use_pallas_compositing: bool = False
+  # Benchmark-only: compute ∇σ the reference's way — vmap(vmap(value_and_grad))
+  # per sample point (models.py:1065-1073) — instead of the batched VJP.
+  # Identical results; used to measure the speedup of the TPU restructuring.
+  naive_per_point_gradient: bool = False
+
+  # -- derived --------------------------------------------------------------
+
+  @property
+  def has_hyper(self) -> bool:
+    return self.hyper_slice_method != 'none'
+
+  @property
+  def needs_sigma_gradient(self) -> bool:
+    """∇σ is needed as the normal itself or as the prediction target.
+
+    The reference computes it unconditionally (models.py:1065-1073) even for
+    configs that never read it; we compute it only when something consumes it.
+    """
+    return self.use_sigma_gradient or self.predict_norm
+
+  @property
+  def num_total_samples(self) -> int:
+    n = self.num_coarse_samples
+    if self.num_fine_samples > 0:
+      n += self.num_fine_samples  # merged+sorted with coarse z
+    return n
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+  """Training loop configuration (reference configs.py TrainConfig +
+  SpecularConfig loss switches; schedule fields take reference-style schedule
+  configs — see training/schedules.py)."""
+  batch_size: int = 512
+  max_steps: int = 250000
+  lr_schedule: Any = ('exponential', 1e-3, 1e-5, 250000)
+  nerf_alpha_schedule: Any = ('constant', 8)
+  warp_alpha_schedule: Any = ('constant', 8)
+  hyper_alpha_schedule: Any = ('constant', 1)
+  hyper_sheet_alpha_schedule: Any = ('constant', 6)
+
+  use_elastic_loss: bool = False
+  elastic_loss_weight_schedule: Any = ('constant', 0.01)
+  elastic_reduce_method: str = 'weight'
+  elastic_loss_type: str = 'log_svals'
+  use_background_loss: bool = False
+  background_loss_weight: float = 0.0
+  background_noise_std: float = 0.001
+  background_points_batch_size: int = 16384
+  use_warp_reg_loss: bool = False
+  warp_reg_loss_weight: float = 0.0
+  warp_reg_loss_alpha: float = -2.0
+  warp_reg_loss_scale: float = 0.001
+  use_hyper_reg_loss: bool = False
+  hyper_reg_loss_weight: float = 0.0
+
+  # Specular / norm losses.
+  norm_loss_weight_schedule: Any = ('constant', 0.001)
+  norm_input_alpha_schedule: Any = ('constant', 4)
+  use_back_facing_reg: bool = False
+  back_facing_reg_weight: float = 0.0
+  use_shrinkage_loss: bool = False
+
+  # Mask losses.
+  predicted_mask_loss_weight: float = 1.0
+  mask_ratio_schedule: Any = ('constant', 1.0)
+  use_mask_occlusion_reg_loss: bool = False
+  mask_occlusion_reg_loss_weight: float = 1.0
+  sharp_mask_std_schedule: Any = ('constant', 1.0)
+  x_for_rgb_alpha_schedule: Any = ('constant', 4.0)
+
+  disable_hyper_grads: bool = False
+  grad_max_val: float = 0.0
+  grad_max_norm: float = 0.0
+
+  save_every: int = 1000
+  print_every: int = 100
+  log_every: int = 100
+  random_seed: int = 0
+
+  # TPU-native extras (no reference equivalent).
+  donate_batch: bool = True
+
+  def __post_init__(self):
+    # Schedule configs may arrive as dicts/lists from JSON; freeze to tuples
+    # so the dataclass stays hashable for jit static closure.
+    for f in dataclasses.fields(self):
+      v = getattr(self, f.name)
+      if isinstance(v, (dict, list)):
+        object.__setattr__(self, f.name, _freeze(v))
+
+
+def _freeze(v):
+  if isinstance(v, dict):
+    return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+  if isinstance(v, (list, tuple)):
+    return tuple(_freeze(x) for x in v)
+  return v
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+  """Evaluation/render configuration (reference configs.py EvalConfig)."""
+  eval_once: bool = False
+  save_output: bool = True
+  chunk: int = 8192
+  num_val_eval: Optional[int] = 10
+  num_train_eval: Optional[int] = 10
+  num_test_eval: Optional[int] = 10
+  subname: str = ''
+  max_render_checkpoints: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+  """Run identity: dataset + model + train + eval (reference configs.py)."""
+  data_dir: str = ''
+  image_scale: int = 1
+  random_seed: int = 0
+  datasource_type: str = 'nerfies'  # 'nerfies' | 'interp' | 'synthetic'
+  interp_interval: int = 4          # for 'interp' datasources
+
+
+# ---------------------------------------------------------------------------
+# Presets
+# ---------------------------------------------------------------------------
+
+
+def vanilla_nerf(num_coarse_samples: int = 64,
+                 num_fine_samples: int = 0) -> ModelConfig:
+  """Static NeRF: no warp, no hyper, no masks (BASELINE config[0])."""
+  return ModelConfig(
+      num_coarse_samples=num_coarse_samples,
+      num_fine_samples=num_fine_samples,
+      use_warp=False,
+      hyper_slice_method='none',
+  )
+
+
+def hypernerf(use_hyper: bool = True) -> ModelConfig:
+  """HyperNeRF-style deformation (+optional ambient slicing), per base.gin."""
+  return ModelConfig(
+      use_warp=True,
+      warp_max_deg=8,
+      hyper_slice_method='bendy_sheet' if use_hyper else 'none',
+      hyper_num_dims=2,
+  )
+
+
+def nerf_ds() -> ModelConfig:
+  """The full shipped NeRF-DS configuration (configs/nerf_ds.gin)."""
+  return ModelConfig(
+      num_coarse_samples=64,
+      num_fine_samples=64,
+      spatial_point_min_deg=0,
+      spatial_point_max_deg=8,
+      hyper_point_min_deg=0,
+      hyper_point_max_deg=1,
+      use_posenc_identity=False,
+      use_warp=True,
+      warp_min_deg=0,
+      warp_max_deg=4,
+      hyper_slice_method='bendy_sheet',
+      hyper_num_dims=2,
+      hyper_use_warp_embed=True,
+      hyper_sheet_min_deg=0,
+      hyper_sheet_max_deg=6,
+      predict_norm=True,
+      norm_supervision_type='warped',
+      use_predicted_norm=True,
+      use_x_in_rgb_condition=True,
+      use_mask_in_warp=True,
+      use_mask_in_hyper=True,
+      use_predicted_mask=True,
+      use_3d_mask=True,
+      use_mask_sharp_weights=True,
+      mask_mlp_depth=8,
+      mask_mlp_width=128,
+      mask_output_activation='relu',
+  )
+
+
+def nerf_ds_train_config(max_steps: int = 250000,
+                         batch_size: int = 512) -> TrainConfig:
+  """Training losses/schedules of configs/nerf_ds.gin."""
+  return TrainConfig(
+      batch_size=batch_size,
+      max_steps=max_steps,
+      lr_schedule=('exponential', 1e-3, 1e-5, max_steps),
+      nerf_alpha_schedule=('constant', 8),
+      warp_alpha_schedule=('linear', 0, 4, 50000),
+      hyper_alpha_schedule=('constant', 1),
+      hyper_sheet_alpha_schedule=('constant', 6),
+      use_warp_reg_loss=True,
+      warp_reg_loss_weight=0.001,
+      norm_loss_weight_schedule=('constant', 0.001),
+      norm_input_alpha_schedule=(
+          'piecewise', (
+              (10000, ('constant', 0.0)),
+              (0, ('linear', 0.0, 4.0, 2000)),
+          )),
+      use_back_facing_reg=True,
+      back_facing_reg_weight=0.1,
+      predicted_mask_loss_weight=0.1,
+      mask_ratio_schedule=('constant', 1.0),
+      sharp_mask_std_schedule=(
+          'piecewise', (
+              (30000, ('exponential', 1.0, 0.1, 30000)),
+              (220000, ('constant', 0.1)),
+          )),
+      x_for_rgb_alpha_schedule=(
+          'piecewise', (
+              (50000, ('constant', 0.0)),
+              (50000, ('linear', 0.0, 4.0, 50000)),
+              (150000, ('constant', 4.0)),
+          )),
+  )
+
+
+def to_json(cfg) -> str:
+  return json.dumps(dataclasses.asdict(cfg), indent=2, default=str)
+
+
+def model_config_from_dict(d: Dict[str, Any]) -> ModelConfig:
+  d = dict(d)
+  for key in ('nerf_skips', 'se3_skips', 'hyper_sheet_skips', 'mask_skips'):
+    if key in d and d[key] is not None:
+      d[key] = tuple(d[key])
+  return ModelConfig(**d)

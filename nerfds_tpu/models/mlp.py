@@ -1,0 +1,203 @@
+"""Functional MLP core (L3).
+
+A deliberately minimal parameter system: params are plain nested dicts of
+jnp arrays, modules are frozen dataclasses holding *static* architecture and
+exposing ``init(key, in_dim) -> params`` and ``apply(params, x) -> y``.
+
+Why not flax: the NeRF-DS forward takes a VJP of a sub-network *inside* the
+model (the batched σ-gradient) and the training loss then differentiates
+through that VJP (second-order AD). With plain pytrees + pure functions this
+is ordinary JAX; no lifted-transform machinery is needed, optax/orbax consume
+the pytrees directly, and parameter-subtree freezing is a path predicate.
+
+Parity target: reference ``hypernerf/modules.py`` MLP (:44-83) and NerfMLP
+(:86-313) — same skip semantics (re-concat the layer input at skip layers),
+same glorot init, same output heads.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Initializer = Callable[..., jnp.ndarray]
+
+glorot = jax.nn.initializers.glorot_uniform()
+uniform_scale = jax.nn.initializers.uniform  # U[0, scale)
+normal_init = jax.nn.initializers.normal
+
+
+def get_activation(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
+  if name is None or name == 'none' or name == 'identity':
+    return lambda x: x
+  return {
+      'relu': jax.nn.relu,
+      'elu': jax.nn.elu,
+      'gelu': jax.nn.gelu,
+      'silu': jax.nn.silu,
+      'tanh': jnp.tanh,
+      'sigmoid': jax.nn.sigmoid,
+      'softplus': jax.nn.softplus,
+      'sin': jnp.sin,
+  }[name]
+
+
+def dense_init(key, in_dim: int, out_dim: int,
+               kernel_init: Initializer = glorot,
+               use_bias: bool = True):
+  kernel = kernel_init(key, (in_dim, out_dim), jnp.float32)
+  params = {'kernel': kernel}
+  if use_bias:
+    params['bias'] = jnp.zeros((out_dim,), jnp.float32)
+  return params
+
+
+def dense_apply(params, x, precision=None):
+  y = jnp.matmul(x, params['kernel'], precision=precision)
+  if 'bias' in params:
+    y = y + params['bias']
+  return y
+
+
+@dataclasses.dataclass(frozen=True)
+class MLP:
+  """Dense stack with input re-concat skips and an optional output head."""
+  depth: int
+  width: int
+  skips: Tuple[int, ...] = ()
+  hidden_activation: str = 'relu'
+  output_channels: int = 0
+  output_activation: Optional[str] = None
+  use_bias: bool = True
+  hidden_init: Initializer = glorot
+  output_init: Optional[Initializer] = None
+
+  def layer_in_dim(self, i: int, in_dim: int) -> int:
+    d = in_dim if i == 0 else self.width
+    if i in self.skips:
+      d += in_dim
+    return d
+
+  def init(self, key, in_dim: int):
+    params = {}
+    keys = jax.random.split(key, self.depth + 1)
+    for i in range(self.depth):
+      params[f'hidden_{i}'] = dense_init(
+          keys[i], self.layer_in_dim(i, in_dim), self.width,
+          kernel_init=self.hidden_init, use_bias=self.use_bias)
+    if self.output_channels > 0:
+      out_in = self.width if self.depth > 0 else in_dim
+      params['logit'] = dense_init(
+          keys[-1], out_in, self.output_channels,
+          kernel_init=self.output_init or glorot, use_bias=self.use_bias)
+    return params
+
+  def apply(self, params, x, precision=None):
+    act = get_activation(self.hidden_activation)
+    inputs = x
+    for i in range(self.depth):
+      if i in self.skips:
+        x = jnp.concatenate([x, inputs], axis=-1)
+      x = dense_apply(params[f'hidden_{i}'], x, precision=precision)
+      x = act(x)
+    if self.output_channels > 0:
+      x = dense_apply(params['logit'], x, precision=precision)
+      if self.output_activation is not None:
+        x = get_activation(self.output_activation)(x)
+    return x
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfMLP:
+  """Trunk + bottleneck + σ/normal head + rgb branch, staged query API.
+
+  The staged API mirrors the reference's split queries
+  (modules.py:243-313): the trunk/bottleneck runs once, σ (+ predicted
+  normal) reads the trunk output, rgb reads [bottleneck ⊕ conditions].
+  Everything operates on flattened ``[N, C]`` arrays.
+  """
+  trunk_depth: int = 8
+  trunk_width: int = 256
+  rgb_branch_depth: int = 1
+  rgb_branch_width: int = 128
+  rgb_channels: int = 3
+  alpha_channels: int = 1
+  activation: str = 'relu'
+  skips: Tuple[int, ...] = (4,)
+  predict_norm: bool = False
+  norm_dim: int = 3
+
+  @property
+  def trunk(self) -> MLP:
+    return MLP(depth=self.trunk_depth, width=self.trunk_width,
+               skips=self.skips, hidden_activation=self.activation)
+
+  @property
+  def alpha_head_channels(self) -> int:
+    return self.alpha_channels + (self.norm_dim if self.predict_norm else 0)
+
+  def init(self, key, in_dim: int, alpha_cond_dim: int, rgb_cond_dim: int,
+           has_condition: bool):
+    """alpha_cond_dim/rgb_cond_dim: channel counts of the conditions (0 if
+    absent). rgb_cond_dim must include every rgb-side condition channel
+    (viewdirs, extra conditions, normals)."""
+    k_trunk, k_bottleneck, k_alpha, k_rgb = jax.random.split(key, 4)
+    params = {'trunk': self.trunk.init(k_trunk, in_dim)}
+    if has_condition:
+      params['bottleneck'] = dense_init(
+          k_bottleneck, self.trunk_width, self.trunk_width)
+    alpha_in = (self.trunk_width + alpha_cond_dim if alpha_cond_dim > 0
+                else self.trunk_width)
+    alpha_mlp = MLP(depth=0, width=0,
+                    output_channels=self.alpha_head_channels)
+    params['alpha'] = alpha_mlp.init(k_alpha, alpha_in)
+    rgb_in = (self.trunk_width + rgb_cond_dim if has_condition
+              else self.trunk_width)
+    rgb_mlp = MLP(depth=self.rgb_branch_depth, width=self.rgb_branch_width,
+                  hidden_activation=self.activation,
+                  output_channels=self.rgb_channels)
+    params['rgb'] = rgb_mlp.init(k_rgb, rgb_in)
+    return params
+
+  def query_bottleneck(self, params, x, precision=None):
+    trunk_out = self.trunk.apply(params['trunk'], x, precision=precision)
+    if 'bottleneck' in params:
+      bottleneck = dense_apply(params['bottleneck'], trunk_out,
+                               precision=precision)
+    else:
+      bottleneck = trunk_out
+    return trunk_out, bottleneck
+
+  def query_sigma(self, params, trunk_out, bottleneck, alpha_condition=None,
+                  precision=None):
+    if alpha_condition is not None:
+      alpha_in = jnp.concatenate([bottleneck, alpha_condition], axis=-1)
+    else:
+      alpha_in = trunk_out
+    out = dense_apply(params['alpha']['logit'], alpha_in, precision=precision)
+    sigma = out[..., :self.alpha_channels]
+    norm = (out[..., self.alpha_channels:self.alpha_channels + self.norm_dim]
+            if self.predict_norm else None)
+    return sigma, norm
+
+  def query_rgb(self, params, trunk_out, bottleneck, rgb_condition=None,
+                extra_rgb_condition=None, screw_condition=None, norm=None,
+                precision=None):
+    """Concat order matches reference query_rgb (modules.py:288-313):
+    [bottleneck, rgb_condition], extra, screw, norm."""
+    if rgb_condition is not None:
+      rgb_in = jnp.concatenate([bottleneck, rgb_condition], axis=-1)
+    else:
+      rgb_in = trunk_out
+    if extra_rgb_condition is not None:
+      rgb_in = jnp.concatenate([rgb_in, extra_rgb_condition], axis=-1)
+    if screw_condition is not None:
+      rgb_in = jnp.concatenate([rgb_in, screw_condition], axis=-1)
+    if norm is not None:
+      rgb_in = jnp.concatenate([rgb_in, norm], axis=-1)
+    rgb_mlp = MLP(depth=self.rgb_branch_depth, width=self.rgb_branch_width,
+                  hidden_activation=self.activation,
+                  output_channels=self.rgb_channels)
+    return rgb_mlp.apply(params['rgb'], rgb_in, precision=precision)

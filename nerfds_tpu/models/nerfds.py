@@ -1,0 +1,767 @@
+"""The NeRF-DS model (L3): coarse/fine dynamic-specular radiance fields.
+
+Functional re-design of the reference ``hypernerf/models.py`` NerfModel
+(:72-1565). Behavioural parity with the shipped ``configs/nerf_ds.gin``
+pipeline, restructured TPU-first:
+
+* **Batched σ-gradient.** The reference computes the density gradient with
+  ``vmap(vmap(value_and_grad))`` per sample point (models.py:1065-1073) — a
+  per-point forward+backward that XLA cannot tile onto the MXU. Here the σ
+  path is a single batched function of ``[N, 3]`` points and ∇σ is one
+  batched VJP with a ones cotangent: because σᵢ depends only on pointᵢ, the
+  pullback of ``Σσ`` *is* the per-point gradient. One extra backward of
+  large matmuls instead of N tiny ones; the training loss differentiates
+  through it (second-order AD) exactly as in the reference.
+
+* **One warp evaluation per level.** The reference evaluates the SE(3) field
+  up to 4× per level on identical inputs (point warp models.py:1037, inverse
+  normal transport :1126, forward normal transport :1276, field viz
+  :1294-1300). The screw (w, v, θ) is a deterministic function of
+  (points, embed), so we evaluate the trunk once inside the σ function and
+  re-apply the shared screw via closed Rodrigues forms.
+
+* **No data-dependent control flow** inside the forward; every feature flag
+  is static config, so each configuration compiles to one XLA program.
+
+Rays dict schema (matches reference models.py:1444-1478):
+  origins [R,3], directions [R,3], (viewdirs [R,3]),
+  metadata: {'warp': [R,1] int, 'appearance': ..., or 'encoded_*': [R,E]},
+  mask [R,1].
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerfds_tpu.config import ModelConfig
+from nerfds_tpu.models.embeddings import GLOEmbed
+from nerfds_tpu.models.hyper import HyperSheetMLP, MaskMLP
+from nerfds_tpu.models.mlp import NerfMLP, get_activation
+from nerfds_tpu.models.warp import SE3Field, TranslationField
+from nerfds_tpu.ops import math as math_ops
+from nerfds_tpu.ops import rendering, rigid, sampling
+
+_PRECISIONS = {None: None, 'highest': jax.lax.Precision.HIGHEST}
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfDSModel:
+  """Static model definition; parameters live in a plain nested dict."""
+  config: ModelConfig
+  num_warp_embeds: int = 1
+  num_hyper_embeds: int = 1
+  num_nerf_embeds: int = 1
+  near: float = 0.2
+  far: float = 2.0
+
+  # -- submodules (all static dataclasses) ----------------------------------
+
+  @property
+  def precision(self):
+    return _PRECISIONS[self.config.matmul_precision]
+
+  @property
+  def warp_field(self):
+    cfg = self.config
+    if cfg.warp_field_type == 'se3':
+      return SE3Field(min_deg=cfg.warp_min_deg, max_deg=cfg.warp_max_deg,
+                      use_posenc_identity=False,
+                      trunk_depth=cfg.se3_trunk_depth,
+                      trunk_width=cfg.se3_trunk_width,
+                      skips=cfg.se3_skips, activation=cfg.activation)
+    if cfg.warp_field_type == 'translation':
+      return TranslationField(min_deg=cfg.warp_min_deg,
+                              max_deg=cfg.warp_max_deg)
+    raise ValueError(f'Unknown warp field type {cfg.warp_field_type!r}')
+
+  @property
+  def hyper_sheet(self) -> HyperSheetMLP:
+    cfg = self.config
+    return HyperSheetMLP(output_channels=cfg.hyper_num_dims,
+                         min_deg=cfg.hyper_sheet_min_deg,
+                         max_deg=cfg.hyper_sheet_max_deg,
+                         depth=cfg.hyper_sheet_depth,
+                         width=cfg.hyper_sheet_width,
+                         skips=cfg.hyper_sheet_skips)
+
+  @property
+  def mask_mlp(self) -> MaskMLP:
+    cfg = self.config
+    return MaskMLP(min_deg=cfg.mask_min_deg, max_deg=cfg.mask_max_deg,
+                   depth=cfg.mask_mlp_depth, width=cfg.mask_mlp_width,
+                   skips=cfg.mask_skips,
+                   output_activation=cfg.mask_output_activation)
+
+  @property
+  def nerf_mlp(self) -> NerfMLP:
+    cfg = self.config
+    return NerfMLP(trunk_depth=cfg.nerf_trunk_depth,
+                   trunk_width=cfg.nerf_trunk_width,
+                   rgb_branch_depth=cfg.nerf_rgb_branch_depth,
+                   rgb_branch_width=cfg.nerf_rgb_branch_width,
+                   activation=cfg.activation, skips=cfg.nerf_skips,
+                   predict_norm=cfg.predict_norm)
+
+  @property
+  def warp_embed(self) -> GLOEmbed:
+    return GLOEmbed(self.num_warp_embeds, self.config.warp_embed_dims)
+
+  @property
+  def hyper_embed(self) -> GLOEmbed:
+    return GLOEmbed(self.num_hyper_embeds, self.config.hyper_embed_dims)
+
+  @property
+  def nerf_embed(self) -> GLOEmbed:
+    return GLOEmbed(self.num_nerf_embeds, self.config.nerf_embed_dims)
+
+  @property
+  def mask_embed(self) -> GLOEmbed:
+    return GLOEmbed(self.num_warp_embeds, self.config.mask_embed_dims)
+
+  # -- static dimension bookkeeping ----------------------------------------
+
+  @property
+  def use_hyper_embed(self) -> bool:
+    return self.config.has_hyper and not self.config.hyper_use_warp_embed
+
+  @property
+  def warp_metadata_dim(self) -> int:
+    d = self.config.warp_embed_dims
+    if self.config.use_mask_in_warp:
+      d += 1
+    return d
+
+  @property
+  def hyper_metadata_dim(self) -> int:
+    d = self.config.hyper_embed_dims
+    if self.config.use_mask_in_hyper:
+      d += 1
+    return d
+
+  @property
+  def mask_metadata_dim(self) -> int:
+    d = self.config.mask_embed_dims if self.config.use_mask_embed else 0
+    if self.config.use_coarse_depth_for_mask:
+      d += 1
+    return d
+
+  @property
+  def nerf_in_dim(self) -> int:
+    cfg = self.config
+    d = math_ops.posenc_dim(3, cfg.spatial_point_min_deg,
+                            cfg.spatial_point_max_deg, cfg.use_posenc_identity)
+    if cfg.has_hyper and cfg.use_hyper_for_sigma:
+      d += math_ops.posenc_dim(cfg.hyper_num_dims, cfg.hyper_point_min_deg,
+                               cfg.hyper_point_max_deg, False)
+    return d
+
+  @property
+  def has_norm_input(self) -> bool:
+    return self.config.use_sigma_gradient or self.config.use_predicted_norm
+
+  @property
+  def norm_input_dim(self) -> int:
+    cfg = self.config
+    if not self.has_norm_input:
+      return 0
+    if cfg.norm_input_posenc:
+      return math_ops.posenc_dim(3, cfg.norm_input_min_deg,
+                                 cfg.norm_input_max_deg,
+                                 cfg.use_posenc_identity)
+    return 3
+
+  @property
+  def alpha_condition_dim(self) -> int:
+    cfg = self.config
+    return (cfg.nerf_embed_dims
+            if cfg.use_nerf_embed and cfg.use_alpha_condition else 0)
+
+  @property
+  def rgb_condition_dim(self) -> int:
+    """Channels of rgb_condition (viewdirs ⊕ appearance embed)."""
+    cfg = self.config
+    d = 0
+    if cfg.use_viewdirs:
+      d += math_ops.posenc_dim(3, cfg.viewdir_min_deg, cfg.viewdir_max_deg,
+                               cfg.use_posenc_identity)
+    if cfg.use_nerf_embed and cfg.use_rgb_condition:
+      d += cfg.nerf_embed_dims
+    return d
+
+  @property
+  def extra_rgb_condition_dim(self) -> int:
+    cfg = self.config
+    d = 0
+    if cfg.use_x_in_rgb_condition:
+      if cfg.window_x_in_rgb_condition:
+        d += math_ops.posenc_dim(3, cfg.x_for_rgb_min_deg,
+                                 cfg.x_for_rgb_max_deg, False)
+      else:
+        # Shipped nerf_ds behaviour: "x" is the trunk output re-fed to the
+        # rgb branch (the reference rebinds points_feat to the trunk output
+        # at models.py:1046 before reading it at :1208).
+        d += cfg.nerf_trunk_width
+    if cfg.use_delta_x_in_rgb_condition:
+      d += 3
+    if cfg.use_hyper_for_rgb:
+      d += cfg.hyper_num_dims
+    if cfg.use_ref_radiance:
+      d += math_ops.posenc_dim(3, cfg.norm_input_min_deg,
+                               cfg.norm_input_max_deg, cfg.use_posenc_identity)
+    if cfg.use_mask_in_rgb:
+      d += 1
+    return d
+
+  @property
+  def has_condition(self) -> bool:
+    cfg = self.config
+    return (cfg.use_viewdirs
+            or (cfg.use_nerf_embed
+                and (cfg.use_alpha_condition or cfg.use_rgb_condition)))
+
+  @property
+  def levels(self):
+    levels = ['coarse']
+    if self.config.num_fine_samples > 0:
+      levels.append('fine')
+    return levels
+
+  # -- init -----------------------------------------------------------------
+
+  def init(self, key) -> Dict[str, Any]:
+    cfg = self.config
+    keys = jax.random.split(key, 8)
+    params: Dict[str, Any] = {}
+    if cfg.use_warp:
+      params['warp_embed'] = self.warp_embed.init(keys[0])
+      params['warp_field'] = self.warp_field.init(keys[1],
+                                                  self.warp_metadata_dim)
+    if self.use_hyper_embed:
+      params['hyper_embed'] = self.hyper_embed.init(keys[2])
+    if cfg.has_hyper and cfg.hyper_slice_method == 'bendy_sheet':
+      params['hyper_sheet'] = self.hyper_sheet.init(keys[3],
+                                                    self.hyper_metadata_dim)
+    if cfg.use_nerf_embed:
+      params['nerf_embed'] = self.nerf_embed.init(keys[4])
+    if cfg.use_predicted_mask:
+      params['mask_embed'] = self.mask_embed.init(keys[5])
+      params['mask_mlp'] = self.mask_mlp.init(keys[6], self.mask_metadata_dim)
+    rgb_total = (self.rgb_condition_dim + self.extra_rgb_condition_dim
+                 + self.norm_input_dim)
+    nerf_keys = jax.random.split(keys[7], len(self.levels))
+    params['nerf'] = {
+        level: self.nerf_mlp.init(k, self.nerf_in_dim,
+                                  self.alpha_condition_dim, rgb_total,
+                                  self.has_condition)
+        for level, k in zip(self.levels, nerf_keys)
+    }
+    return params
+
+  # -- embedding helpers ----------------------------------------------------
+
+  def encode_warp_embed(self, params, metadata):
+    return self.warp_embed.encode(params['warp_embed'],
+                                  metadata[self.config.warp_embed_key])
+
+  def encode_hyper_embed(self, params, metadata):
+    if self.config.hyper_use_warp_embed:
+      return self.encode_warp_embed(params, metadata)
+    return self.hyper_embed.encode(params['hyper_embed'],
+                                   metadata[self.config.hyper_embed_key])
+
+  def encode_nerf_embed(self, params, metadata):
+    return self.nerf_embed.encode(params['nerf_embed'],
+                                  metadata[self.config.nerf_embed_key])
+
+  def encode_mask_embed(self, params, metadata):
+    return self.mask_embed.encode(params['mask_embed'],
+                                  metadata[self.config.warp_embed_key])
+
+  def encode_metadata(self, params, metadata):
+    """Pre-encode GLO embeddings so chunked rendering skips lookups
+    (reference evaluation.py:29-50, extended with the mask embed)."""
+    encoded = {}
+    if self.config.use_nerf_embed:
+      encoded['encoded_nerf'] = self.encode_nerf_embed(params, metadata)
+    if self.config.use_warp:
+      encoded['encoded_warp'] = self.encode_warp_embed(params, metadata)
+    if self.config.has_hyper:
+      encoded['encoded_hyper'] = self.encode_hyper_embed(params, metadata)
+    if self.config.use_predicted_mask:
+      encoded['encoded_mask'] = self.encode_mask_embed(params, metadata)
+    return encoded
+
+  def apply_warp(self, params, points, warp_metadata, extra_params):
+    """Warp free-space points (background regularisation;
+    reference models.py:766-773). points [P,3], warp_metadata [P,1] int."""
+    warp_embed = self.warp_embed.encode(params['warp_embed'], warp_metadata)
+    if self.config.use_mask_in_warp:
+      mask = jnp.zeros([*warp_embed.shape[:-1], 1])  # background: mask 0
+      warp_embed = jnp.concatenate([warp_embed, mask], axis=-1)
+    return self.warp_field.warp(params['warp_field'], points, warp_embed,
+                                extra_params['warp_alpha'], self.precision)
+
+  # -- the batched σ path ---------------------------------------------------
+
+  def make_sigma_fn(self, params, level, warp_in_embed, hyper_in_embed,
+                    hyper_embed, alpha_condition, extra_params, *,
+                    use_warp=True, hyper_override=None):
+    """Builds the pointwise-batched density function of ``[N, 3]`` points.
+
+    σᵢ depends only on pᵢ (embeds/conditions are fixed per sample), so a
+    ones-cotangent VJP of the returned function gives the per-point ∇σ in
+    one batched backward — the TPU replacement for the reference's
+    vmap(vmap(value_and_grad)) (models.py:1065-1073).
+    """
+    cfg = self.config
+    prec = self.precision
+
+    def sigma_fn(p):
+      screw = None
+      if use_warp and cfg.use_warp:
+        if cfg.warp_field_type == 'se3':
+          screw = self.warp_field.screw(params['warp_field'], p,
+                                        warp_in_embed,
+                                        extra_params['warp_alpha'], prec)
+          warped_spatial = rigid.transform_point(screw, p)
+        else:
+          warped_spatial = self.warp_field.warp(
+              params['warp_field'], p, warp_in_embed,
+              extra_params['warp_alpha'], prec)
+      else:
+        warped_spatial = p
+      hyper = None
+      if hyper_override is not None:
+        hyper = hyper_override
+      elif cfg.hyper_slice_method == 'bendy_sheet':
+        hyper = self.hyper_sheet.apply(
+            params['hyper_sheet'], p, hyper_in_embed,
+            alpha=extra_params['hyper_sheet_alpha'], precision=prec)
+      elif cfg.hyper_slice_method == 'axis_aligned_plane':
+        hyper = hyper_embed
+      if hyper is not None and cfg.use_hyper_for_sigma:
+        warped = jnp.concatenate([warped_spatial, hyper], axis=-1)
+      else:
+        warped = warped_spatial
+      feat = math_ops.posenc(
+          warped[..., :3], cfg.spatial_point_min_deg,
+          cfg.spatial_point_max_deg, cfg.use_posenc_identity,
+          alpha=extra_params['nerf_alpha'])
+      if warped.shape[-1] > 3:
+        hyper_feat = math_ops.posenc(
+            warped[..., 3:], cfg.hyper_point_min_deg,
+            cfg.hyper_point_max_deg, False,
+            alpha=extra_params['hyper_alpha'])
+        feat = jnp.concatenate([feat, hyper_feat], axis=-1)
+      trunk_out, bottleneck = self.nerf_mlp.query_bottleneck(
+          params['nerf'][level], feat, precision=prec)
+      sigma_raw, norm = self.nerf_mlp.query_sigma(
+          params['nerf'][level], trunk_out, bottleneck, alpha_condition,
+          precision=prec)
+      aux = {
+          'screw': screw,
+          'warped_spatial': warped_spatial,
+          'hyper': hyper,
+          'warped': warped,
+          'trunk_out': trunk_out,
+          'bottleneck': bottleneck,
+          'norm': norm,
+      }
+      return sigma_raw[..., 0], aux
+
+    return sigma_fn
+
+  # -- the per-level forward ------------------------------------------------
+
+  def render_samples(self, params, level, points, z_vals, directions,
+                     viewdirs, metadata, extra_params, gt_mask, key,
+                     *, coarse_depth=None, use_warp=True,
+                     metadata_encoded=False, return_warp_jacobian=False,
+                     use_sample_at_infinity=True, mask_ratio=1.0,
+                     sharp_weights_std=1.0, x_for_rgb_alpha=4.0,
+                     return_full=False) -> Dict[str, jnp.ndarray]:
+    cfg = self.config
+    prec = self.precision
+    num_rays, num_samples = points.shape[:2]
+    n = num_rays * num_samples
+    pts = points.reshape(n, 3)
+    out: Dict[str, jnp.ndarray] = {'points': points}
+
+    def broadcast_ray(x):
+      """[R, C] per-ray feature -> [R*S, C] per-sample feature."""
+      return jnp.broadcast_to(
+          x[:, None, :], (num_rays, num_samples, x.shape[-1])
+      ).reshape(n, x.shape[-1])
+
+    use_warp = cfg.use_warp and use_warp
+
+    # Embeddings (per ray, broadcast to samples).
+    warp_embed = None
+    if use_warp:
+      if metadata_encoded:
+        warp_embed = metadata['encoded_warp']
+      else:
+        warp_embed = self.encode_warp_embed(params, metadata)
+      warp_embed = broadcast_ray(warp_embed)
+    hyper_embed = None
+    if cfg.has_hyper:
+      if metadata_encoded:
+        hyper_embed = broadcast_ray(metadata['encoded_hyper'])
+      elif cfg.hyper_use_warp_embed and warp_embed is not None:
+        hyper_embed = warp_embed
+      else:
+        hyper_embed = broadcast_ray(
+            self.encode_hyper_embed(params, metadata))
+    alpha_condition = None
+    rgb_condition_parts = []
+    if cfg.use_viewdirs:
+      viewdirs_feat = math_ops.posenc(
+          viewdirs, cfg.viewdir_min_deg, cfg.viewdir_max_deg,
+          cfg.use_posenc_identity)
+      rgb_condition_parts.append(broadcast_ray(viewdirs_feat))
+    if cfg.use_nerf_embed:
+      nerf_embed = (metadata['encoded_nerf'] if metadata_encoded
+                    else self.encode_nerf_embed(params, metadata))
+      nerf_embed = broadcast_ray(nerf_embed)
+      if cfg.use_alpha_condition:
+        alpha_condition = nerf_embed
+      if cfg.use_rgb_condition:
+        rgb_condition_parts.append(nerf_embed)
+    rgb_condition = (jnp.concatenate(rgb_condition_parts, axis=-1)
+                     if rgb_condition_parts else None)
+
+    gt_mask_b = broadcast_ray(gt_mask) if gt_mask is not None else None
+
+    # Predicted 3D mask field (observation-space points).
+    predicted_mask = None
+    if cfg.use_predicted_mask:
+      if metadata_encoded and 'encoded_mask' in metadata:
+        mask_embed = broadcast_ray(metadata['encoded_mask'])
+      else:
+        mask_embed = broadcast_ray(self.encode_mask_embed(params, metadata))
+      if cfg.use_coarse_depth_for_mask:
+        if coarse_depth is not None:
+          depth_feat = broadcast_ray(coarse_depth[:, None])
+        else:
+          depth_feat = jnp.full((n, 1), -1.0)
+        mask_embed = jnp.concatenate([depth_feat, mask_embed], axis=-1)
+      predicted_mask = self.mask_mlp.apply(
+          params['mask_mlp'], pts, mask_embed,
+          alpha=extra_params['warp_alpha'], use_embed=cfg.use_mask_embed,
+          precision=prec)
+      out['predicted_mask'] = predicted_mask.reshape(
+          num_rays, num_samples, 1)
+      if cfg.clamp_predicted_mask:
+        threshold = 0.2
+        predicted_mask = jnp.minimum(predicted_mask, threshold) / threshold
+      mask = (predicted_mask * mask_ratio
+              + gt_mask_b * (1.0 - mask_ratio))
+    else:
+      mask = gt_mask_b
+
+    # Mask-conditioned metadata for warp/hyper (reference models.py:729-732).
+    warp_in_embed = warp_embed
+    if use_warp and cfg.use_mask_in_warp:
+      warp_in_embed = jnp.concatenate([warp_embed, mask], axis=-1)
+    hyper_in_embed = hyper_embed
+    if cfg.has_hyper and cfg.use_mask_in_hyper:
+      hyper_in_embed = jnp.concatenate([hyper_embed, mask], axis=-1)
+
+    hyper_override = metadata.get('hyper_point') if metadata else None
+    if hyper_override is not None:
+      hyper_override = broadcast_ray(hyper_override)
+
+    sigma_fn = self.make_sigma_fn(
+        params, level, warp_in_embed, hyper_in_embed, hyper_embed,
+        alpha_condition, extra_params, use_warp=use_warp,
+        hyper_override=hyper_override)
+
+    if cfg.needs_sigma_gradient:
+      if cfg.naive_per_point_gradient:
+        # Reference execution pattern (models.py:1065-1073): one
+        # value_and_grad per sample point under nested vmap. Kept for A/B
+        # benchmarking of the batched-VJP restructuring; results identical.
+        assert cfg.hyper_slice_method in ('none', 'bendy_sheet')
+        assert alpha_condition is None and hyper_override is None
+
+        def single_sigma(p, w_in, h_in):
+          f = self.make_sigma_fn(
+              params, level,
+              None if w_in is None else w_in[None],
+              None if h_in is None else h_in[None],
+              None, None, extra_params, use_warp=use_warp)
+          s, aux_one = f(p[None])
+          return s[0], jax.tree_util.tree_map(lambda x: x[0], aux_one)
+
+        (sigma_raw, aux), grad_pts = jax.vmap(
+            jax.value_and_grad(single_sigma, has_aux=True),
+            in_axes=(0, None if warp_in_embed is None else 0,
+                     None if hyper_in_embed is None else 0))(
+                         pts, warp_in_embed, hyper_in_embed)
+      else:
+        sigma_raw, sigma_vjp, aux = jax.vjp(sigma_fn, pts, has_aux=True)
+        (grad_pts,) = sigma_vjp(jnp.ones_like(sigma_raw))
+      sigma_gradient = math_ops.normalize(-grad_pts)
+    else:
+      sigma_raw, aux = sigma_fn(pts)
+      sigma_gradient = None
+
+    screw = aux['screw']
+    norm = aux['norm']
+
+    if return_warp_jacobian and use_warp:
+      warp_jac = self.warp_field.warp_jacobian(
+          params['warp_field'], pts, warp_in_embed,
+          extra_params['warp_alpha'])
+      out['warp_jacobian'] = warp_jac.reshape(num_rays, num_samples, 3, 3)
+
+    # ---- normal input for the radiance branch -----------------------------
+    norm_input = None
+    if cfg.use_sigma_gradient:
+      norm_input = sigma_gradient
+      if cfg.stop_norm_gradient:
+        norm_input = jax.lax.stop_gradient(norm_input)
+    elif cfg.use_predicted_norm:
+      normalized_norm = math_ops.normalize(norm)
+      if cfg.norm_supervision_type in ('warped', 'canonical'):
+        if use_warp and screw is not None:
+          # Observation-frame normal: rotate the canonical prediction back
+          # by R⁻¹ of the same screw (reference map_vectors inverse=True).
+          norm_input = rigid.rotate_inverse(screw, normalized_norm)
+        else:
+          norm_input = normalized_norm
+      elif cfg.norm_supervision_type in ('direct', 'canonical_unwarped'):
+        norm_input = norm
+      else:
+        raise NotImplementedError(cfg.norm_supervision_type)
+      if cfg.stop_norm_gradient:
+        norm_input = jax.lax.stop_gradient(norm_input)
+
+    norm_input_feat = None
+    if norm_input is not None:
+      norm_input = math_ops.normalize(norm_input)
+      if cfg.norm_input_posenc:
+        norm_input_feat = math_ops.posenc(
+            norm_input, cfg.norm_input_min_deg, cfg.norm_input_max_deg,
+            cfg.use_posenc_identity, alpha=extra_params['norm_input_alpha'])
+      else:
+        norm_input_feat = norm_input
+
+    ref_radiance_feat = None
+    if cfg.use_ref_radiance:
+      viewdirs_b = broadcast_ray(viewdirs)
+      ref_radiance = math_ops.reflect(viewdirs_b, norm_input)
+      ref_radiance_feat = math_ops.posenc(
+          ref_radiance, cfg.norm_input_min_deg, cfg.norm_input_max_deg,
+          cfg.use_posenc_identity, alpha=extra_params['norm_input_alpha'])
+
+    # ---- extra rgb conditions (reference models.py:1167-1266) --------------
+    extra_rgb_parts = []
+    if cfg.use_x_in_rgb_condition:
+      if cfg.window_x_in_rgb_condition:
+        extra_rgb_parts.append(math_ops.posenc(
+            pts, cfg.x_for_rgb_min_deg, cfg.x_for_rgb_max_deg,
+            alpha=x_for_rgb_alpha))
+      else:
+        extra_rgb_parts.append(aux['trunk_out'])
+    if cfg.use_delta_x_in_rgb_condition:
+      extra_rgb_parts.append(
+          jax.lax.stop_gradient(aux['warped_spatial'] - pts))
+    if cfg.use_hyper_for_rgb:
+      extra_rgb_parts.append(aux['hyper'])
+    if ref_radiance_feat is not None:
+      extra_rgb_parts.append(ref_radiance_feat)
+
+    # Mask-derived compositing weights (for the 3D-mask loss and optionally
+    # the rgb condition; reference models.py:1236-1266).
+    sigma_act = get_activation(cfg.sigma_activation)
+    sigmoid_sigma = sigma_act(sigma_raw.reshape(num_rays, num_samples))
+    mask_weight_scale = 5.0 if cfg.use_mask_scaled_weights else 1.0
+    mask_weights = jax.lax.stop_gradient(rendering.cal_weights(
+        sigmoid_sigma, z_vals, directions, scale=mask_weight_scale))
+    sharp_weights = None
+    if cfg.use_mask_sharp_weights:
+      sharp_weights = rendering.sharpen_weights(mask_weights, z_vals,
+                                                std=sharp_weights_std)
+      out['sharp_weights'] = sharp_weights
+    if cfg.use_mask_in_rgb:
+      w = sharp_weights if cfg.use_mask_sharp_weights else mask_weights
+      gt_mask_3d = w.reshape(n, 1) * gt_mask_b
+      if cfg.use_predicted_mask:
+        if cfg.use_3d_mask:
+          predicted_mask_3d = predicted_mask
+        else:
+          predicted_mask_3d = w.reshape(n, 1) * predicted_mask
+        mask_3d = (predicted_mask_3d * mask_ratio
+                   + gt_mask_3d * (1 - mask_ratio))
+      else:
+        mask_3d = gt_mask_3d
+      extra_rgb_parts.append(mask_3d)
+
+    extra_rgb_condition = (jnp.concatenate(extra_rgb_parts, axis=-1)
+                           if extra_rgb_parts else None)
+
+    # ---- rgb + activations -------------------------------------------------
+    rgb_raw = self.nerf_mlp.query_rgb(
+        params['nerf'][level], aux['trunk_out'], aux['bottleneck'],
+        rgb_condition, extra_rgb_condition, None, norm_input_feat,
+        precision=prec)
+    rgb = jax.nn.sigmoid(rgb_raw).reshape(num_rays, num_samples, 3)
+    sigma_noised = rendering.noise_regularize_sigma(
+        key, sigma_raw.reshape(num_rays, num_samples), cfg.noise_std,
+        cfg.use_stratified_sampling)
+    sigma = sigma_act(sigma_noised)
+    out['sigma'] = sigma
+
+    # ---- compositing -------------------------------------------------------
+    out.update(rendering.volumetric_rendering(
+        rgb, sigma, z_vals, directions,
+        use_white_background=cfg.use_white_background,
+        sample_at_infinity=use_sample_at_infinity,
+        use_sharp_weights=cfg.use_rgb_sharp_weights,
+        sharp_weights_std=sharp_weights_std))
+    weights = out['weights']
+
+    warped_points = aux['warped'].reshape(num_rays, num_samples, -1)
+    out['warped_points'] = warped_points
+
+    # ---- normal supervision targets ---------------------------------------
+    if cfg.predict_norm:
+      norm_rs = norm.reshape(num_rays, num_samples, 3)
+      out['predicted_norm'] = norm_rs
+      if cfg.norm_supervision_type == 'warped':
+        # Canonical-frame target: rotate ∇σ forward by the same screw
+        # (reference map_vectors forward, models.py:1276-1277).
+        if use_warp and screw is not None:
+          target = math_ops.normalize(rigid.rotate(screw, sigma_gradient))
+        else:
+          target = math_ops.normalize(sigma_gradient)
+      elif cfg.norm_supervision_type in ('direct', 'canonical_unwarped'):
+        target = sigma_gradient
+      else:
+        raise NotImplementedError(cfg.norm_supervision_type)
+      out['target_norm'] = target.reshape(num_rays, num_samples, 3)
+      viewdirs_rs = jnp.broadcast_to(viewdirs[:, None, :],
+                                     (num_rays, num_samples, 3))
+      back_facing = jnp.sum(norm_rs * viewdirs_rs, axis=-1)
+      out['back_facing'] = jnp.square(jax.nn.relu(back_facing))
+
+    # ---- per-ray accumulations --------------------------------------------
+    if norm is not None:
+      out['ray_norm'] = (weights[..., None]
+                         * norm.reshape(num_rays, num_samples, 3)).sum(-2)
+    elif sigma_gradient is not None:
+      out['ray_norm'] = (weights[..., None] * sigma_gradient.reshape(
+          num_rays, num_samples, 3)).sum(-2)
+
+    delta_x = warped_points[..., :3] - points
+    out['delta_x'] = delta_x
+    out['ray_delta_x'] = (weights[..., None] * delta_x).sum(axis=-2)
+
+    hyper_points = warped_points[..., 3:]
+    out['ray_hyper_points'] = (weights[..., None] * hyper_points).sum(axis=-2)
+
+    if cfg.use_predicted_mask:
+      pm = out['predicted_mask']
+      if cfg.use_mask_scaled_weights:
+        out['scaled_weights'] = mask_weights
+        out['ray_predicted_mask'] = (mask_weights[..., None] * pm).sum(-2)
+      else:
+        out['ray_predicted_mask'] = (weights[..., None] * pm).sum(-2)
+
+    # Median-depth point (reference models.py:1410-1415).
+    depth_indices = rendering.compute_depth_index(weights)
+    out['med_points'] = jnp.take_along_axis(
+        warped_points, depth_indices[..., None, None], axis=-2)
+
+    # ---- visualisation fields (render-only; reference models.py:1291-1305,
+    # derived here from the shared screw rather than fresh field evals) ------
+    if return_full and use_warp and screw is not None:
+      rotation_ref = math_ops.normalize(jnp.ones_like(pts))
+      rotation_field = math_ops.normalize(rigid.rotate(screw, rotation_ref))
+      rf = rotation_field.reshape(num_rays, num_samples, 3)
+      out['ray_rotation_field'] = (weights[..., None] * rf).sum(-2)
+      tf = rigid.translation(screw).reshape(num_rays, num_samples, 3)
+      out['ray_translation_field'] = (weights[..., None] * tf).sum(-2)
+
+    return out
+
+  # -- full forward ---------------------------------------------------------
+
+  def render(self, params, rays, key, extra_params,
+             *, use_warp=True, metadata_encoded=False,
+             return_warp_jacobian=False, return_points=False,
+             return_weights=True, near=None, far=None,
+             use_sample_at_infinity=None, mask_ratio=1.0,
+             sharp_weights_std=1.0, x_for_rgb_alpha=4.0,
+             return_full=False) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Coarse + fine rendering of a ray batch (reference __call__,
+    models.py:1419-1565)."""
+    cfg = self.config
+    origins = rays['origins']
+    directions = rays['directions']
+    metadata = rays.get('metadata', {})
+    gt_mask = rays.get('mask')
+    viewdirs = rays.get('viewdirs', directions)
+
+    near = self.near if near is None else near
+    far = self.far if far is None else far
+    if use_sample_at_infinity is None:
+      use_sample_at_infinity = cfg.use_sample_at_infinity
+
+    key_coarse, key_fine, key_cn, key_fn = jax.random.split(key, 4)
+
+    z_vals, points = sampling.sample_along_rays(
+        key_coarse, origins, directions, cfg.num_coarse_samples, near, far,
+        cfg.use_stratified_sampling, cfg.use_linear_disparity)
+
+    coarse = self.render_samples(
+        params, 'coarse', points, z_vals, directions, viewdirs, metadata,
+        extra_params, gt_mask, key_cn,
+        coarse_depth=None, use_warp=use_warp,
+        metadata_encoded=metadata_encoded,
+        return_warp_jacobian=return_warp_jacobian,
+        use_sample_at_infinity=cfg.use_sample_at_infinity,
+        mask_ratio=mask_ratio, sharp_weights_std=sharp_weights_std,
+        x_for_rgb_alpha=x_for_rgb_alpha, return_full=return_full)
+    out = {'coarse': coarse}
+
+    if cfg.num_fine_samples > 0:
+      z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+      z_vals, points = sampling.sample_pdf(
+          key_fine, z_vals_mid, coarse['weights'][..., 1:-1], origins,
+          directions, z_vals, cfg.num_fine_samples,
+          cfg.use_stratified_sampling)
+      out['fine'] = self.render_samples(
+          params, 'fine', points, z_vals, directions, viewdirs, metadata,
+          extra_params, gt_mask, key_fn,
+          coarse_depth=coarse['depth'], use_warp=use_warp,
+          metadata_encoded=metadata_encoded,
+          return_warp_jacobian=return_warp_jacobian,
+          use_sample_at_infinity=use_sample_at_infinity,
+          mask_ratio=mask_ratio, sharp_weights_std=sharp_weights_std,
+          x_for_rgb_alpha=x_for_rgb_alpha, return_full=return_full)
+
+    if not return_weights:
+      for level in out:
+        out[level].pop('weights', None)
+    if not return_points:
+      for level in out:
+        out[level].pop('points', None)
+        out[level].pop('warped_points', None)
+    return out
+
+
+def default_extra_params(cfg: ModelConfig) -> Dict[str, jnp.ndarray]:
+  """Annealing scalars with their fully-annealed values (for eval/tests)."""
+  return {
+      'nerf_alpha': jnp.asarray(float(cfg.spatial_point_max_deg)),
+      'warp_alpha': jnp.asarray(float(cfg.warp_max_deg)),
+      'hyper_alpha': jnp.asarray(float(cfg.hyper_point_max_deg)),
+      'hyper_sheet_alpha': jnp.asarray(float(cfg.hyper_sheet_max_deg)),
+      'norm_input_alpha': jnp.asarray(float(cfg.norm_input_max_deg)),
+      'norm_loss_weight': jnp.asarray(0.001),
+  }

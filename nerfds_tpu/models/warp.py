@@ -1,0 +1,122 @@
+"""Deformation (warp) fields (L3).
+
+Parity target: reference ``hypernerf/warping.py`` — ``SE3Field`` (:124-281),
+``TranslationField`` (:32-120) and ``BoneSE3Field`` (:284-531).
+
+TPU-first restructuring of SE3Field: the field is split into
+
+  ``screw(params, points, embed, alpha) -> rigid.Screw``
+
+returning the per-point screw motion once, and pure ``rigid.*`` appliers.
+The reference re-evaluates the whole field for every use of the same screw
+(point warp, inverse normal transport, rotation/translation visualisation —
+models.py:1126,1276,1294,1300, i.e. up to 4 trunk evaluations per level);
+here callers apply ``rigid.transform_point`` / ``rotate`` /
+``rotate_inverse`` / ``translation`` to the one shared screw, which is
+mathematically identical (same deterministic function of the same inputs)
+and saves ~3 warp-trunk evaluations per level.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerfds_tpu.models import mlp as mlp_lib
+from nerfds_tpu.ops import math as math_ops
+from nerfds_tpu.ops import rigid
+
+
+@dataclasses.dataclass(frozen=True)
+class SE3Field:
+  """posenc(x) ⊕ embed -> trunk -> (w, v) heads -> screw motion."""
+  min_deg: int = 0
+  max_deg: int = 8
+  use_posenc_identity: bool = False
+  trunk_depth: int = 6
+  trunk_width: int = 128
+  skips: Tuple[int, ...] = (4,)
+  activation: str = 'relu'
+
+  @property
+  def trunk(self) -> mlp_lib.MLP:
+    return mlp_lib.MLP(depth=self.trunk_depth, width=self.trunk_width,
+                       skips=self.skips, hidden_activation=self.activation,
+                       hidden_init=jax.nn.initializers.xavier_uniform())
+
+  def init(self, key, metadata_dim: int):
+    k_trunk, k_w, k_v = jax.random.split(key, 3)
+    in_dim = math_ops.posenc_dim(3, self.min_deg, self.max_deg,
+                                 self.use_posenc_identity) + metadata_dim
+    return {
+        'trunk': self.trunk.init(k_trunk, in_dim),
+        # Branch heads are depth-0 MLPs = single logit layers with the
+        # reference's tiny-uniform output init (warping.py:156-157).
+        'w': mlp_lib.dense_init(
+            k_w, self.trunk_width, 3,
+            kernel_init=jax.nn.initializers.uniform(scale=1e-4)),
+        'v': mlp_lib.dense_init(
+            k_v, self.trunk_width, 3,
+            kernel_init=jax.nn.initializers.uniform(scale=1e-4)),
+    }
+
+  def screw(self, params, points, metadata_embed, warp_alpha=None,
+            precision=None) -> rigid.Screw:
+    """Evaluate the field once: per-point screw motion. points: [N, 3]."""
+    points_embed = math_ops.posenc(points, self.min_deg, self.max_deg,
+                                   self.use_posenc_identity, warp_alpha)
+    inputs = jnp.concatenate([points_embed, metadata_embed], axis=-1)
+    trunk_out = self.trunk.apply(params['trunk'], inputs, precision=precision)
+    w = mlp_lib.dense_apply(params['w'], trunk_out, precision=precision)
+    v = mlp_lib.dense_apply(params['v'], trunk_out, precision=precision)
+    return rigid.screw_from_raw(w, v)
+
+  def warp(self, params, points, metadata_embed, warp_alpha=None,
+           precision=None):
+    """Point warp x -> exp(θS) x (reference SE3Field.warp default mode)."""
+    screw = self.screw(params, points, metadata_embed, warp_alpha, precision)
+    return rigid.transform_point(screw, points)
+
+  def warp_jacobian(self, params, points, metadata_embed, warp_alpha=None):
+    """Batched ∂(warped)/∂x, [N, 3, 3] — replaces the reference's
+    vmap(vmap(jacfwd)) (warping.py:276-279) with 3 batched JVPs."""
+    return rigid.batched_jacobian(
+        lambda p: self.warp(params, p, metadata_embed, warp_alpha), points)
+
+
+@dataclasses.dataclass(frozen=True)
+class TranslationField:
+  """Nerfies-style translation-only warp (reference warping.py:32-120)."""
+  min_deg: int = 0
+  max_deg: int = 8
+  use_posenc_identity: bool = True
+  depth: int = 6
+  width: int = 128
+  skips: Tuple[int, ...] = (4,)
+  activation: str = 'relu'
+
+  @property
+  def mlp(self) -> mlp_lib.MLP:
+    return mlp_lib.MLP(
+        depth=self.depth, width=self.width, skips=self.skips,
+        hidden_activation=self.activation, output_channels=3,
+        output_init=jax.nn.initializers.uniform(scale=1e-4))
+
+  def init(self, key, metadata_dim: int):
+    in_dim = math_ops.posenc_dim(3, self.min_deg, self.max_deg,
+                                 self.use_posenc_identity) + metadata_dim
+    return {'mlp': self.mlp.init(key, in_dim)}
+
+  def warp(self, params, points, metadata_embed, warp_alpha=None,
+           precision=None):
+    points_embed = math_ops.posenc(points, self.min_deg, self.max_deg,
+                                   self.use_posenc_identity, warp_alpha)
+    inputs = jnp.concatenate([points_embed, metadata_embed], axis=-1)
+    translation = self.mlp.apply(params['mlp'], inputs, precision=precision)
+    return points + translation
+
+  def warp_jacobian(self, params, points, metadata_embed, warp_alpha=None):
+    return rigid.batched_jacobian(
+        lambda p: self.warp(params, p, metadata_embed, warp_alpha), points)

@@ -1,0 +1,23 @@
+"""Test environment: run everything on a virtual 8-device CPU mesh.
+
+This is the standard JAX multi-chip simulation trick: the sharding layer
+(`nerfds_tpu.parallel`) is exercised against 8 host CPU devices so the pjit
+programs compile and execute without TPU hardware.
+
+NOTE: the environment's sitecustomize registers a tunneled TPU backend and
+force-sets ``jax_platforms='axon,cpu'`` via ``jax.config`` (overriding the
+env var), so we must override it back through ``jax.config`` after import.
+Per-op dispatch over the tunnel makes eager tests pathologically slow
+otherwise.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+  os.environ["XLA_FLAGS"] = (
+      flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

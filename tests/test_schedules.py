@@ -1,0 +1,92 @@
+"""Jittable schedules vs the reference's host-side semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfds_tpu.training import schedules
+
+
+def v(fn, step):
+  return float(fn(jnp.asarray(step, jnp.float32)))
+
+
+def test_constant():
+  fn = schedules.from_config(('constant', 3.5))
+  assert v(fn, 0) == 3.5 and v(fn, 100000) == 3.5
+  assert v(schedules.from_config(2.0), 7) == 2.0
+
+
+def test_linear():
+  fn = schedules.from_config(('linear', 0.0, 4.0, 100))
+  assert v(fn, 0) == 0.0
+  assert v(fn, 50) == pytest.approx(2.0)
+  assert v(fn, 100) == 4.0
+  assert v(fn, 1000) == 4.0
+
+
+def test_exponential_matches_reference_formula():
+  fn = schedules.from_config(('exponential', 1e-3, 1e-5, 250000))
+  assert v(fn, 0) == pytest.approx(1e-3)
+  # step >= num_steps clamps to final.
+  assert v(fn, 250000) == pytest.approx(1e-5)
+  # Reference formula: init * (final/init)^(step/(n-1)).
+  want = 1e-3 * (1e-5 / 1e-3) ** (100000 / 249999)
+  assert v(fn, 100000) == pytest.approx(want, rel=1e-4)
+
+
+def test_cosine_easing():
+  fn = schedules.from_config(('cosine_easing', 0.0, 1.0, 100))
+  assert v(fn, 0) == pytest.approx(0.0, abs=1e-6)
+  assert v(fn, 50) == pytest.approx(0.5, abs=1e-5)
+  assert v(fn, 100) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_step_schedule():
+  fn = schedules.from_config(
+      {'type': 'step', 'initial_value': 1.0, 'decay_interval': 10,
+       'decay_factor': 0.5, 'max_decays': 2})
+  assert v(fn, 0) == 1.0
+  assert v(fn, 10) == 0.5
+  assert v(fn, 25) == 0.25  # capped at max_decays
+  assert v(fn, 1000) == 0.25
+
+
+def test_piecewise_nerf_ds_sharp_mask():
+  # nerf_ds.gin: 30k exponential 1 -> 0.1, then constant 0.1.
+  fn = schedules.from_config(
+      ('piecewise', ((30000, ('exponential', 1.0, 0.1, 30000)),
+                     (220000, ('constant', 0.1)))))
+  assert v(fn, 0) == pytest.approx(1.0)
+  assert v(fn, 30000) == pytest.approx(0.1, rel=1e-3)
+  assert v(fn, 100000) == pytest.approx(0.1)
+  # Local-step semantics: second segment starts fresh at milestone.
+  fn2 = schedules.from_config(
+      ('piecewise', ((10, ('constant', 5.0)), (0, ('linear', 0.0, 1.0, 10)))))
+  assert v(fn2, 5) == 5.0
+  assert v(fn2, 15) == pytest.approx(0.5)  # linear evaluated at local step 5
+
+
+def test_delayed():
+  fn = schedules.from_config(
+      {'type': 'delayed', 'base_schedule': ('constant', 1.0),
+       'delay_steps': 100, 'delay_mult': 0.01})
+  assert v(fn, 0) == pytest.approx(0.01)
+  assert v(fn, 100) == pytest.approx(1.0)
+  assert v(fn, 50) == pytest.approx(0.01 + 0.99 * np.sin(np.pi / 4), rel=1e-4)
+
+
+def test_schedules_jit_and_vectorize():
+  fn = schedules.from_config(
+      ('piecewise', ((50000, ('constant', 0.0)),
+                     (50000, ('linear', 0.0, 4.0, 50000)),
+                     (150000, ('constant', 4.0)))))
+  jit_fn = jax.jit(fn)
+  assert float(jit_fn(jnp.asarray(0.0))) == 0.0
+  assert float(jit_fn(jnp.asarray(75000.0))) == pytest.approx(2.0)
+  assert float(jit_fn(jnp.asarray(200000.0))) == 4.0
+
+
+def test_none_schedule_is_zero():
+  fn = schedules.from_config(None)
+  assert v(fn, 123) == 0.0
