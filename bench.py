@@ -27,7 +27,7 @@ def build(batch_size: int, naive: bool):
 
   cfg = config_lib.nerf_ds()  # full shipped architecture, 64 + 64 samples
   if naive:
-    cfg = dataclasses.replace(cfg, naive_per_point_gradient=True)
+    cfg = dataclasses.replace(cfg, sigma_gradient_mode='naive')
   model = NerfDSModel(config=cfg, num_warp_embeds=64, num_hyper_embeds=64,
                       near=0.2, far=2.0)
   train_cfg = config_lib.nerf_ds_train_config(batch_size=batch_size)
@@ -51,16 +51,22 @@ def build(batch_size: int, naive: bool):
 
 
 def time_steps(state, step_fn, batch, warmup: int, iters: int) -> float:
-  """Seconds per step (median of timed iterations)."""
+  """Seconds per step (median of timed iterations).
+
+  Synchronisation is a host fetch of the loss scalar: on tunneled device
+  transports (axon relay) ``block_until_ready`` returns before execution
+  finishes, silently inflating throughput ~20x; a device->host scalar read
+  is the only reliable fence.
+  """
   key = jax.random.PRNGKey(0)
   for i in range(warmup):
-    state, _ = step_fn(state, batch, jax.random.fold_in(key, i))
-  jax.block_until_ready(state.params)
+    state, stats = step_fn(state, batch, jax.random.fold_in(key, i))
+  _ = float(jax.device_get(stats['coarse']['loss/total']))
   times = []
   for i in range(iters):
     t0 = time.perf_counter()
-    state, _ = step_fn(state, batch, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(state.params)
+    state, stats = step_fn(state, batch, jax.random.fold_in(key, 100 + i))
+    _ = float(jax.device_get(stats['coarse']['loss/total']))
     times.append(time.perf_counter() - t0)
   return float(np.median(times))
 

@@ -120,10 +120,15 @@ class ModelConfig:
   # Numerics.
   matmul_precision: Optional[str] = None  # None (fast) | 'highest' (parity)
   use_pallas_compositing: bool = False
-  # Benchmark-only: compute ∇σ the reference's way — vmap(vmap(value_and_grad))
-  # per sample point (models.py:1065-1073) — instead of the batched VJP.
-  # Identical results; used to measure the speedup of the TPU restructuring.
-  naive_per_point_gradient: bool = False
+  # How to compute the batched per-point ∇σ:
+  #  'vjp'  — one reverse pass with a ones cotangent (cheapest; the training
+  #           loss then differentiates reverse-over-reverse);
+  #  'jvp'  — jax.linearize + 3 basis tangents (reverse-over-forward for the
+  #           outer loss; ~3x the linear-pass cost but sidesteps a TPU XLA
+  #           fusion-pass crash on the vjp graph — see models/nerfds.py);
+  #  'naive'— the reference's vmap(vmap(value_and_grad)) per point
+  #           (models.py:1065-1073), kept for A/B benchmarking.
+  sigma_gradient_mode: str = 'jvp'
 
   # -- derived --------------------------------------------------------------
 

@@ -28,7 +28,11 @@ class GLOEmbed:
     """ids: integer [..., 1] or [...]."""
     if ids.ndim > 0 and ids.shape[-1] == 1:
       ids = jnp.squeeze(ids, axis=-1)
-    return jnp.take(params['embedding'], ids.astype(jnp.int32), axis=0)
+    # mode='clip': out-of-range ids (e.g. a val frame whose warp id exceeds
+    # the train table) clamp to the nearest row instead of jnp.take's
+    # default NaN fill.
+    return jnp.take(params['embedding'], ids.astype(jnp.int32), axis=0,
+                    mode='clip')
 
   def encode(self, params, metadata: jnp.ndarray) -> jnp.ndarray:
     """Encode metadata that is either an id ``[..., 1]`` or an interpolation

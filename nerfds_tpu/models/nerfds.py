@@ -480,7 +480,7 @@ class NerfDSModel:
         hyper_override=hyper_override)
 
     if cfg.needs_sigma_gradient:
-      if cfg.naive_per_point_gradient:
+      if cfg.sigma_gradient_mode == 'naive':
         # Reference execution pattern (models.py:1065-1073): one
         # value_and_grad per sample point under nested vmap. Kept for A/B
         # benchmarking of the batched-VJP restructuring; results identical.
@@ -501,9 +501,24 @@ class NerfDSModel:
             in_axes=(0, None if warp_in_embed is None else 0,
                      None if hyper_in_embed is None else 0))(
                          pts, warp_in_embed, hyper_in_embed)
-      else:
+      elif cfg.sigma_gradient_mode == 'jvp':
+        # Forward-mode: linearize once, push 3 basis tangents. σ is
+        # pointwise, so tangent_j = ∂σ/∂x_j per point. The outer training
+        # backward is then reverse-over-forward, which the TPU XLA stack
+        # compiles where the reverse-over-reverse (vjp) graph crashes its
+        # priority-fusion cost model (SIGILL, observed on v5e).
+        (sigma_raw, aux), lin = jax.linearize(sigma_fn, pts)
+        cols = []
+        for j in range(3):
+          tangent = jnp.zeros_like(pts).at[..., j].set(1.0)
+          dsigma, _ = lin(tangent)
+          cols.append(dsigma)
+        grad_pts = jnp.stack(cols, axis=-1)
+      elif cfg.sigma_gradient_mode == 'vjp':
         sigma_raw, sigma_vjp, aux = jax.vjp(sigma_fn, pts, has_aux=True)
         (grad_pts,) = sigma_vjp(jnp.ones_like(sigma_raw))
+      else:
+        raise ValueError(cfg.sigma_gradient_mode)
       sigma_gradient = math_ops.normalize(-grad_pts)
     else:
       sigma_raw, aux = sigma_fn(pts)
@@ -511,6 +526,15 @@ class NerfDSModel:
 
     screw = aux['screw']
     norm = aux['norm']
+
+    # Naive (reference-pattern) mode also re-evaluates the warp field for
+    # every downstream use of the screw, as the reference does
+    # (models.py:1126, :1276, :1294-1300), instead of reusing `screw`.
+    def fresh_screw():
+      if cfg.sigma_gradient_mode == 'naive' and use_warp and screw is not None:
+        return self.warp_field.screw(params['warp_field'], pts, warp_in_embed,
+                                     extra_params['warp_alpha'], prec)
+      return screw
 
     if return_warp_jacobian and use_warp:
       warp_jac = self.warp_field.warp_jacobian(
@@ -530,7 +554,7 @@ class NerfDSModel:
         if use_warp and screw is not None:
           # Observation-frame normal: rotate the canonical prediction back
           # by R⁻¹ of the same screw (reference map_vectors inverse=True).
-          norm_input = rigid.rotate_inverse(screw, normalized_norm)
+          norm_input = rigid.rotate_inverse(fresh_screw(), normalized_norm)
         else:
           norm_input = normalized_norm
       elif cfg.norm_supervision_type in ('direct', 'canonical_unwarped'):
@@ -636,7 +660,7 @@ class NerfDSModel:
         # Canonical-frame target: rotate ∇σ forward by the same screw
         # (reference map_vectors forward, models.py:1276-1277).
         if use_warp and screw is not None:
-          target = math_ops.normalize(rigid.rotate(screw, sigma_gradient))
+          target = math_ops.normalize(rigid.rotate(fresh_screw(), sigma_gradient))
         else:
           target = math_ops.normalize(sigma_gradient)
       elif cfg.norm_supervision_type in ('direct', 'canonical_unwarped'):
@@ -680,11 +704,12 @@ class NerfDSModel:
     # ---- visualisation fields (render-only; reference models.py:1291-1305,
     # derived here from the shared screw rather than fresh field evals) ------
     if return_full and use_warp and screw is not None:
+      viz_screw = fresh_screw()
       rotation_ref = math_ops.normalize(jnp.ones_like(pts))
-      rotation_field = math_ops.normalize(rigid.rotate(screw, rotation_ref))
+      rotation_field = math_ops.normalize(rigid.rotate(viz_screw, rotation_ref))
       rf = rotation_field.reshape(num_rays, num_samples, 3)
       out['ray_rotation_field'] = (weights[..., None] * rf).sum(-2)
-      tf = rigid.translation(screw).reshape(num_rays, num_samples, 3)
+      tf = rigid.translation(viz_screw).reshape(num_rays, num_samples, 3)
       out['ray_translation_field'] = (weights[..., None] * tf).sum(-2)
 
     return out

@@ -62,7 +62,8 @@ def sharpen_weights(weights, z_vals, std=0.01):
   max_z = jnp.take_along_axis(z_vals, max_idx[..., None], axis=-1)  # [R, 1]
   gaussian = jax.scipy.stats.norm.pdf(z_vals, max_z, std)
   sharp = weights * gaussian
-  return sharp / jnp.sum(sharp, axis=-1, keepdims=True)
+  # +eps: all-zero rows (empty rays / pdf underflow) divide to 0, not NaN.
+  return sharp / (jnp.sum(sharp, axis=-1, keepdims=True) + 1e-12)
 
 
 def compute_opaqueness_mask(weights, depth_threshold=0.5):

@@ -32,16 +32,21 @@ class Screw(NamedTuple):
     return jnp.concatenate([self.w, self.v], axis=-1)
 
 
-def screw_from_raw(w_raw: jnp.ndarray, v_raw: jnp.ndarray) -> Screw:
+def screw_from_raw(w_raw: jnp.ndarray, v_raw: jnp.ndarray,
+                   eps: float = 1e-12) -> Screw:
   """Normalises raw (w, v) MLP outputs into a screw, θ = ‖w‖.
 
-  Matches reference warping.py:219-222 (plain division by θ; the output init
-  of 1e-4 keeps θ > 0 in practice, and the division's θ→0 behaviour must
-  match the reference exactly for gradient parity, so no epsilon is added).
+  Matches reference warping.py:219-222 (division by θ) except for the
+  ``eps`` clamp: the reference divides by θ unguarded and NaNs if a ReLU
+  trunk emits an exact-zero row (its 128-wide trunks make that improbable;
+  narrow configs hit it at init). θ at init is ~1e-5, so the 1e-12 clamp is
+  numerically inert on any real trajectory; at θ=0 it yields the identity
+  transform instead of NaN.
   """
   theta = jnp.linalg.norm(w_raw, axis=-1)
-  w = w_raw / theta[..., None]
-  v = v_raw / theta[..., None]
+  denom = jnp.maximum(theta, eps)[..., None]
+  w = w_raw / denom
+  v = v_raw / denom
   return Screw(w=w, v=v, theta=theta)
 
 

@@ -132,7 +132,7 @@ def compute_loss_and_stats(
     stats['residual/hyper_reg'] = jnp.mean(jnp.sqrt(hyper_reg_residual))
     loss = loss + train_cfg.hyper_reg_loss_weight * hyper_reg_loss
 
-  if model_cfg.use_predicted_norm:
+  if model_cfg.use_predicted_norm and 'predicted_norm' in model_out:
     weights = jax.lax.stop_gradient(model_out['weights'])
     predicted_norm = model_out['predicted_norm']
     target_norm = model_out['target_norm']
@@ -141,7 +141,7 @@ def compute_loss_and_stats(
     stats['loss/norm_diff'] = norm_diff_loss
     loss = loss + scalars['norm_loss_weight'] * norm_diff_loss
 
-  if train_cfg.use_back_facing_reg:
+  if train_cfg.use_back_facing_reg and 'back_facing' in model_out:
     weights = jax.lax.stop_gradient(model_out['weights'])
     back_facing_loss = jnp.mean(weights * model_out['back_facing'])
     stats['loss/back_facing'] = back_facing_loss

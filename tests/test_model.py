@@ -134,6 +134,40 @@ def test_batched_sigma_gradient_matches_per_point_grad(nerf_ds_model):
                              rtol=1e-5, atol=1e-6)
 
 
+def test_sigma_gradient_modes_agree(nerf_ds_model):
+  """'vjp', 'jvp' and 'naive' ∇σ modes produce the same forward outputs
+  and the same training gradients."""
+  import dataclasses
+  model, params = nerf_ds_model
+  rays = make_rays(num_rays=4)
+  extra = default_extra_params(model.config)
+
+  def run(mode):
+    cfg = dataclasses.replace(model.config, sigma_gradient_mode=mode)
+    m = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4)
+
+    def loss_fn(p):
+      out = m.render(p, rays, jax.random.PRNGKey(5), extra)
+      return (jnp.mean(out['fine']['rgb'] ** 2)
+              + jnp.mean((out['fine']['predicted_norm']
+                          - out['fine']['target_norm']) ** 2)), out
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    return loss, out, grads
+
+  loss_vjp, out_vjp, g_vjp = run('vjp')
+  for mode in ('jvp', 'naive'):
+    loss_m, out_m, g_m = run(mode)
+    np.testing.assert_allclose(float(loss_vjp), float(loss_m), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_vjp['fine']['target_norm']),
+                               np.asarray(out_m['fine']['target_norm']),
+                               rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_vjp),
+                    jax.tree_util.tree_leaves(g_m)):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                 rtol=2e-3, atol=1e-6)
+
+
 def test_gradients_flow_to_all_params(nerf_ds_model):
   model, params = nerf_ds_model
   rays = make_rays()
