@@ -129,6 +129,10 @@ class ModelConfig:
   #  'naive'— the reference's vmap(vmap(value_and_grad)) per point
   #           (models.py:1065-1073), kept for A/B benchmarking.
   sigma_gradient_mode: str = 'jvp'
+  # Rematerialise the σ path in the outer backward (jax.checkpoint with
+  # matmul outputs saved): trades ~1 extra forward for dropping the large
+  # [R·S, width] activation residuals, raising the max per-chip ray batch.
+  remat_sigma: bool = False
 
   # -- derived --------------------------------------------------------------
 

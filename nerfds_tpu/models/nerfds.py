@@ -372,6 +372,10 @@ class NerfDSModel:
       }
       return sigma_raw[..., 0], aux
 
+    if cfg.remat_sigma:
+      return jax.checkpoint(
+          sigma_fn,
+          policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
     return sigma_fn
 
   # -- the per-level forward ------------------------------------------------

@@ -79,6 +79,11 @@ class Trainer:
           config_lib.to_json(self.train_cfg))
     self.ckpt = (ckpt_lib.CheckpointManager(self.exp_dir / 'checkpoints')
                  if self.exp_dir is not None else None)
+    if self.exp_dir is not None:
+      from nerfds_tpu.training.logging import MetricWriter
+      self.metrics_writer = MetricWriter(self.exp_dir / 'summaries')
+    else:
+      self.metrics_writer = None
 
   # -- setup ----------------------------------------------------------------
 
@@ -150,6 +155,9 @@ class Trainer:
         if log_fn is not None:
           log_fn(step + 1, {'stats': stats_host,
                             'time': tracker.summary()})
+        if self.metrics_writer is not None:
+          self.metrics_writer.write_scalars(
+              step + 1, {'train': stats_host, 'time': tracker.summary()})
         tracker.reset()
       else:
         tracker.toc('total')
