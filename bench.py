@@ -51,24 +51,24 @@ def build(batch_size: int, naive: bool):
 
 
 def time_steps(state, step_fn, batch, warmup: int, iters: int) -> float:
-  """Seconds per step (median of timed iterations).
+  """Seconds per step, measured over a chain of dependent steps.
 
-  Synchronisation is a host fetch of the loss scalar: on tunneled device
-  transports (axon relay) ``block_until_ready`` returns before execution
-  finishes, silently inflating throughput ~20x; a device->host scalar read
-  is the only reliable fence.
+  Two transport pitfalls on tunneled devices (axon relay): (a)
+  ``block_until_ready`` returns before execution finishes (inflates
+  throughput ~20x), so the fence is a device->host scalar fetch; (b) that
+  fetch itself costs a ~30 ms round trip, so per-step fetches inflate the
+  *step* time instead. Chaining ``iters`` steps (state dependency serialises
+  them) and fetching once amortises the RTT to noise.
   """
   key = jax.random.PRNGKey(0)
   for i in range(warmup):
     state, stats = step_fn(state, batch, jax.random.fold_in(key, i))
   _ = float(jax.device_get(stats['coarse']['loss/total']))
-  times = []
+  t0 = time.perf_counter()
   for i in range(iters):
-    t0 = time.perf_counter()
     state, stats = step_fn(state, batch, jax.random.fold_in(key, 100 + i))
-    _ = float(jax.device_get(stats['coarse']['loss/total']))
-    times.append(time.perf_counter() - t0)
-  return float(np.median(times))
+  _ = float(jax.device_get(stats['coarse']['loss/total']))
+  return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -87,14 +87,14 @@ def main():
 
   vs_baseline = None
   if not args.no_baseline:
-    # Reference execution pattern at the reference's own batch size (512 —
-    # the per-point vmap pattern OOMs/levels off at larger batches).
-    ref_batch = 512
+    # Reference execution pattern at the same batch size (kernel-level A/B;
+    # the reference's host-pipeline/pmap overheads are additionally absent
+    # here but unmeasurable on this toolchain — see BENCHMARKS.md).
     try:
-      state_n, step_n, batch_n = build(ref_batch, naive=True)
+      state_n, step_n, batch_n = build(args.batch, naive=True)
       sec_n = time_steps(state_n, step_n, batch_n, max(1, warmup // 2),
-                         max(3, iters // 4))
-      ref_rays = ref_batch / sec_n / n_chips
+                         max(4, iters // 2))
+      ref_rays = args.batch / sec_n / n_chips
       vs_baseline = rays_per_sec_per_chip / ref_rays
     except Exception as e:  # baseline pattern may fail to compile somewhere
       print(f'baseline-pattern bench failed: {e!r}', file=sys.stderr)

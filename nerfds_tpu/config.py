@@ -119,20 +119,37 @@ class ModelConfig:
 
   # Numerics.
   matmul_precision: Optional[str] = None  # None (fast) | 'highest' (parity)
+  # Compute dtype for the MLP stacks: None keeps f32 everywhere (parity);
+  # 'bfloat16' runs dense layers with bf16 activations/residuals — the step
+  # is HBM-bandwidth-bound (XLA cost analysis: ~165 GB/step at batch 2048 =
+  # ~100%% of v5e bandwidth), so halving activation bytes is the main lever.
+  # Geometry (posenc, SE(3), compositing) stays f32.
+  compute_dtype: Optional[str] = None
   use_pallas_compositing: bool = False
-  # How to compute the batched per-point ∇σ:
-  #  'vjp'  — one reverse pass with a ones cotangent (cheapest; the training
-  #           loss then differentiates reverse-over-reverse);
-  #  'jvp'  — jax.linearize + 3 basis tangents (reverse-over-forward for the
-  #           outer loss; ~3x the linear-pass cost but sidesteps a TPU XLA
-  #           fusion-pass crash on the vjp graph — see models/nerfds.py);
-  #  'naive'— the reference's vmap(vmap(value_and_grad)) per point
-  #           (models.py:1065-1073), kept for A/B benchmarking.
-  sigma_gradient_mode: str = 'jvp'
+  # How to compute the batched per-point ∇σ (measured on v5e, full config,
+  # batch 2048, chained timing):
+  #  'vmap' — vmap(value_and_grad) per point with the screw shared
+  #           downstream. One batched reverse pass; the vmap-shaped graph
+  #           both compiles and is fastest (120 ms/step). DEFAULT.
+  #  'jvp'  — jax.linearize + 3 basis tangents (163 ms; reverse-over-forward
+  #           outer AD — kept as a fallback for toolchains where the
+  #           reverse-over-reverse graphs miscompile).
+  #  'vjp'  — ones-cotangent pullback of Σσ (currently SIGILLs the XLA TPU
+  #           fusion cost model; equivalent math to 'vmap').
+  #  'naive'— 'vmap' plus the reference's 4x warp-field re-evaluation
+  #           (models.py:1065-1073,1126,1276,1294-1300), for A/B
+  #           benchmarking (136 ms).
+  sigma_gradient_mode: str = 'vmap'
   # Rematerialise the σ path in the outer backward (jax.checkpoint with
   # matmul outputs saved): trades ~1 extra forward for dropping the large
   # [R·S, width] activation residuals, raising the max per-chip ray batch.
   remat_sigma: bool = False
+  # Speed mode (non-parity): stop-gradient ∇σ before it feeds the normal
+  # supervision target. The reference differentiates through ∇σ
+  # (second-order AD); stopping it makes the norm loss first-order — the
+  # predicted normal still chases the density gradient, but the density is
+  # no longer shaped by the normal loss. ~25% faster steps.
+  stop_target_norm_gradient: bool = False
 
   # -- derived --------------------------------------------------------------
 

@@ -38,11 +38,13 @@ class HyperSheetMLP:
     in_dim = math_ops.posenc_dim(3, self.min_deg, self.max_deg) + embed_dim
     return {'mlp': self.mlp.init(key, in_dim)}
 
-  def apply(self, params, points, embed, alpha=None, precision=None):
+  def apply(self, params, points, embed, alpha=None, precision=None,
+            dtype=None):
     points_feat = math_ops.posenc(points, self.min_deg, self.max_deg,
                                   use_identity=False, alpha=alpha)
     inputs = jnp.concatenate([points_feat, embed], axis=-1)
-    out = self.mlp.apply(params['mlp'], inputs, precision=precision)
+    out = self.mlp.apply(params['mlp'], inputs, precision=precision,
+                         dtype=dtype)
     if self.use_residual:
       out = out + embed
     return out
@@ -72,11 +74,12 @@ class MaskMLP:
     return {'mlp': self.mlp.init(key, in_dim)}
 
   def apply(self, params, points, embed, alpha=None, use_embed=True,
-            precision=None):
+            precision=None, dtype=None):
     points_feat = math_ops.posenc(points, self.min_deg, self.max_deg,
                                   use_identity=False, alpha=alpha)
     if use_embed:
       inputs = jnp.concatenate([points_feat, embed], axis=-1)
     else:
       inputs = points_feat
-    return self.mlp.apply(params['mlp'], inputs, precision=precision)
+    return self.mlp.apply(params['mlp'], inputs, precision=precision,
+                          dtype=dtype)

@@ -54,10 +54,15 @@ def dense_init(key, in_dim: int, out_dim: int,
   return params
 
 
-def dense_apply(params, x, precision=None):
-  y = jnp.matmul(x, params['kernel'], precision=precision)
+def dense_apply(params, x, precision=None, dtype=None):
+  kernel = params['kernel']
+  if dtype is not None:
+    x = x.astype(dtype)
+    kernel = kernel.astype(dtype)
+  y = jnp.matmul(x, kernel, precision=precision)
   if 'bias' in params:
-    y = y + params['bias']
+    bias = params['bias'].astype(dtype) if dtype is not None else params['bias']
+    y = y + bias
   return y
 
 
@@ -94,18 +99,28 @@ class MLP:
           kernel_init=self.output_init or glorot, use_bias=self.use_bias)
     return params
 
-  def apply(self, params, x, precision=None):
+  def apply(self, params, x, precision=None, dtype=None):
+    """dtype: compute dtype for the dense stack (e.g. bf16). Inputs are cast
+    once at entry, activations stay in that dtype between layers (halving
+    the HBM traffic of layer activations and backward residuals), and the
+    output is cast back to f32."""
     act = get_activation(self.hidden_activation)
+    out_dtype = x.dtype
+    if dtype is not None:
+      x = x.astype(dtype)
     inputs = x
     for i in range(self.depth):
       if i in self.skips:
         x = jnp.concatenate([x, inputs], axis=-1)
-      x = dense_apply(params[f'hidden_{i}'], x, precision=precision)
+      x = dense_apply(params[f'hidden_{i}'], x, precision=precision,
+                      dtype=dtype)
       x = act(x)
     if self.output_channels > 0:
-      x = dense_apply(params['logit'], x, precision=precision)
+      x = dense_apply(params['logit'], x, precision=precision, dtype=dtype)
       if self.output_activation is not None:
         x = get_activation(self.output_activation)(x)
+    if dtype is not None:
+      x = x.astype(out_dtype)
     return x
 
 
@@ -161,22 +176,28 @@ class NerfMLP:
     params['rgb'] = rgb_mlp.init(k_rgb, rgb_in)
     return params
 
-  def query_bottleneck(self, params, x, precision=None):
-    trunk_out = self.trunk.apply(params['trunk'], x, precision=precision)
+  def query_bottleneck(self, params, x, precision=None, dtype=None):
+    trunk_out = self.trunk.apply(params['trunk'], x, precision=precision,
+                                 dtype=dtype)
     if 'bottleneck' in params:
       bottleneck = dense_apply(params['bottleneck'], trunk_out,
-                               precision=precision)
+                               precision=precision, dtype=dtype)
+      if dtype is not None:
+        bottleneck = bottleneck.astype(trunk_out.dtype)
     else:
       bottleneck = trunk_out
     return trunk_out, bottleneck
 
   def query_sigma(self, params, trunk_out, bottleneck, alpha_condition=None,
-                  precision=None):
+                  precision=None, dtype=None):
     if alpha_condition is not None:
       alpha_in = jnp.concatenate([bottleneck, alpha_condition], axis=-1)
     else:
       alpha_in = trunk_out
-    out = dense_apply(params['alpha']['logit'], alpha_in, precision=precision)
+    out = dense_apply(params['alpha']['logit'], alpha_in, precision=precision,
+                      dtype=dtype)
+    if dtype is not None:
+      out = out.astype(jnp.float32)
     sigma = out[..., :self.alpha_channels]
     norm = (out[..., self.alpha_channels:self.alpha_channels + self.norm_dim]
             if self.predict_norm else None)
@@ -184,7 +205,7 @@ class NerfMLP:
 
   def query_rgb(self, params, trunk_out, bottleneck, rgb_condition=None,
                 extra_rgb_condition=None, screw_condition=None, norm=None,
-                precision=None):
+                precision=None, dtype=None):
     """Concat order matches reference query_rgb (modules.py:288-313):
     [bottleneck, rgb_condition], extra, screw, norm."""
     if rgb_condition is not None:
@@ -200,4 +221,5 @@ class NerfMLP:
     rgb_mlp = MLP(depth=self.rgb_branch_depth, width=self.rgb_branch_width,
                   hidden_activation=self.activation,
                   output_channels=self.rgb_channels)
-    return rgb_mlp.apply(params['rgb'], rgb_in, precision=precision)
+    return rgb_mlp.apply(params['rgb'], rgb_in, precision=precision,
+                         dtype=dtype)

@@ -4,14 +4,16 @@ Functional re-design of the reference ``hypernerf/models.py`` NerfModel
 (:72-1565). Behavioural parity with the shipped ``configs/nerf_ds.gin``
 pipeline, restructured TPU-first:
 
-* **Batched σ-gradient.** The reference computes the density gradient with
-  ``vmap(vmap(value_and_grad))`` per sample point (models.py:1065-1073) — a
-  per-point forward+backward that XLA cannot tile onto the MXU. Here the σ
-  path is a single batched function of ``[N, 3]`` points and ∇σ is one
-  batched VJP with a ones cotangent: because σᵢ depends only on pointᵢ, the
-  pullback of ``Σσ`` *is* the per-point gradient. One extra backward of
-  large matmuls instead of N tiny ones; the training loss differentiates
-  through it (second-order AD) exactly as in the reference.
+* **Batched σ-gradient, selectable AD formulation.** σᵢ depends only on
+  pointᵢ, so the per-point ∇σ equals the ones-cotangent pullback of Σσ; the
+  framework implements that pullback four ways (``sigma_gradient_mode``) and
+  was benchmarked on v5e: a vmap'd per-point ``value_and_grad`` (which JAX
+  batches into one reverse pass over ``[N, C]`` MXU matmuls) is both the
+  fastest and the most robust to the TPU XLA stack, a 3-tangent
+  ``linearize`` fallback sidesteps reverse-over-reverse miscompiles, and a
+  'naive' mode reproduces the reference's exact op count (4x warp field
+  re-evaluation) for honest A/B baselines. The training loss differentiates
+  through ∇σ (second-order AD) exactly as the reference does.
 
 * **One warp evaluation per level.** The reference evaluates the SE(3) field
   up to 4× per level on identical inputs (point warp models.py:1037, inverse
@@ -62,6 +64,12 @@ class NerfDSModel:
   @property
   def precision(self):
     return _PRECISIONS[self.config.matmul_precision]
+
+  @property
+  def cdtype(self):
+    """MLP compute dtype (None = f32 parity; bf16 halves activation HBM
+    traffic on the bandwidth-bound training step)."""
+    return jnp.bfloat16 if self.config.compute_dtype == 'bfloat16' else None
 
   @property
   def warp_field(self):
@@ -302,7 +310,8 @@ class NerfDSModel:
       mask = jnp.zeros([*warp_embed.shape[:-1], 1])  # background: mask 0
       warp_embed = jnp.concatenate([warp_embed, mask], axis=-1)
     return self.warp_field.warp(params['warp_field'], points, warp_embed,
-                                extra_params['warp_alpha'], self.precision)
+                                extra_params['warp_alpha'], self.precision,
+                                self.cdtype)
 
   # -- the batched σ path ---------------------------------------------------
 
@@ -325,7 +334,8 @@ class NerfDSModel:
         if cfg.warp_field_type == 'se3':
           screw = self.warp_field.screw(params['warp_field'], p,
                                         warp_in_embed,
-                                        extra_params['warp_alpha'], prec)
+                                        extra_params['warp_alpha'], prec,
+                                        self.cdtype)
           warped_spatial = rigid.transform_point(screw, p)
         else:
           warped_spatial = self.warp_field.warp(
@@ -339,7 +349,8 @@ class NerfDSModel:
       elif cfg.hyper_slice_method == 'bendy_sheet':
         hyper = self.hyper_sheet.apply(
             params['hyper_sheet'], p, hyper_in_embed,
-            alpha=extra_params['hyper_sheet_alpha'], precision=prec)
+            alpha=extra_params['hyper_sheet_alpha'], precision=prec,
+            dtype=self.cdtype)
       elif cfg.hyper_slice_method == 'axis_aligned_plane':
         hyper = hyper_embed
       if hyper is not None and cfg.use_hyper_for_sigma:
@@ -357,10 +368,13 @@ class NerfDSModel:
             alpha=extra_params['hyper_alpha'])
         feat = jnp.concatenate([feat, hyper_feat], axis=-1)
       trunk_out, bottleneck = self.nerf_mlp.query_bottleneck(
-          params['nerf'][level], feat, precision=prec)
+          params['nerf'][level], feat, precision=prec, dtype=self.cdtype)
       sigma_raw, norm = self.nerf_mlp.query_sigma(
           params['nerf'][level], trunk_out, bottleneck, alpha_condition,
-          precision=prec)
+          precision=prec, dtype=self.cdtype)
+      if norm is not None:
+        norm = norm.astype(jnp.float32)
+      sigma_raw = sigma_raw.astype(jnp.float32)
       aux = {
           'screw': screw,
           'warped_spatial': warped_spatial,
@@ -455,7 +469,7 @@ class NerfDSModel:
       predicted_mask = self.mask_mlp.apply(
           params['mask_mlp'], pts, mask_embed,
           alpha=extra_params['warp_alpha'], use_embed=cfg.use_mask_embed,
-          precision=prec)
+          precision=prec, dtype=self.cdtype)
       out['predicted_mask'] = predicted_mask.reshape(
           num_rays, num_samples, 1)
       if cfg.clamp_predicted_mask:
@@ -484,27 +498,34 @@ class NerfDSModel:
         hyper_override=hyper_override)
 
     if cfg.needs_sigma_gradient:
-      if cfg.sigma_gradient_mode == 'naive':
-        # Reference execution pattern (models.py:1065-1073): one
-        # value_and_grad per sample point under nested vmap. Kept for A/B
-        # benchmarking of the batched-VJP restructuring; results identical.
-        assert cfg.hyper_slice_method in ('none', 'bendy_sheet')
-        assert alpha_condition is None and hyper_override is None
-
-        def single_sigma(p, w_in, h_in):
+      if cfg.sigma_gradient_mode in ('vmap', 'naive'):
+        # Per-point value_and_grad under vmap (the reference pattern,
+        # models.py:1065-1073). Counter-intuitively this is the FASTEST
+        # correct formulation on the current TPU toolchain: vmap batches the
+        # per-point reverse pass into one batched backward (same math as
+        # the ones-cotangent VJP), and the resulting graph both compiles
+        # (plain jax.vjp SIGILLs XLA's fusion cost model) and beats the
+        # 3-tangent forward mode (one reverse pass vs three linear passes).
+        # 'vmap' reuses the screw downstream; 'naive' additionally
+        # re-evaluates the warp field per use, reproducing the reference's
+        # op count for A/B benchmarks.
+        def single_sigma(p, w_in, h_in, h_emb, a_cond, h_over):
+          expand = lambda v: None if v is None else v[None]
           f = self.make_sigma_fn(
-              params, level,
-              None if w_in is None else w_in[None],
-              None if h_in is None else h_in[None],
-              None, None, extra_params, use_warp=use_warp)
+              params, level, expand(w_in), expand(h_in), expand(h_emb),
+              expand(a_cond), extra_params, use_warp=use_warp,
+              hyper_override=expand(h_over))
           s, aux_one = f(p[None])
           return s[0], jax.tree_util.tree_map(lambda x: x[0], aux_one)
 
+        axis = lambda v: None if v is None else 0
         (sigma_raw, aux), grad_pts = jax.vmap(
             jax.value_and_grad(single_sigma, has_aux=True),
-            in_axes=(0, None if warp_in_embed is None else 0,
-                     None if hyper_in_embed is None else 0))(
-                         pts, warp_in_embed, hyper_in_embed)
+            in_axes=(0, axis(warp_in_embed), axis(hyper_in_embed),
+                     axis(hyper_embed), axis(alpha_condition),
+                     axis(hyper_override)))(
+                         pts, warp_in_embed, hyper_in_embed, hyper_embed,
+                         alpha_condition, hyper_override)
       elif cfg.sigma_gradient_mode == 'jvp':
         # Forward-mode: linearize once, push 3 basis tangents. σ is
         # pointwise, so tangent_j = ∂σ/∂x_j per point. The outer training
@@ -523,6 +544,8 @@ class NerfDSModel:
         (grad_pts,) = sigma_vjp(jnp.ones_like(sigma_raw))
       else:
         raise ValueError(cfg.sigma_gradient_mode)
+      if cfg.stop_target_norm_gradient:
+        grad_pts = jax.lax.stop_gradient(grad_pts)
       sigma_gradient = math_ops.normalize(-grad_pts)
     else:
       sigma_raw, aux = sigma_fn(pts)
@@ -537,7 +560,8 @@ class NerfDSModel:
     def fresh_screw():
       if cfg.sigma_gradient_mode == 'naive' and use_warp and screw is not None:
         return self.warp_field.screw(params['warp_field'], pts, warp_in_embed,
-                                     extra_params['warp_alpha'], prec)
+                                     extra_params['warp_alpha'], prec,
+                                     self.cdtype)
       return screw
 
     if return_warp_jacobian and use_warp:
@@ -636,7 +660,7 @@ class NerfDSModel:
     rgb_raw = self.nerf_mlp.query_rgb(
         params['nerf'][level], aux['trunk_out'], aux['bottleneck'],
         rgb_condition, extra_rgb_condition, None, norm_input_feat,
-        precision=prec)
+        precision=prec, dtype=self.cdtype)
     rgb = jax.nn.sigmoid(rgb_raw).reshape(num_rays, num_samples, 3)
     sigma_noised = rendering.noise_regularize_sigma(
         key, sigma_raw.reshape(num_rays, num_samples), cfg.noise_std,

@@ -63,20 +63,26 @@ class SE3Field:
     }
 
   def screw(self, params, points, metadata_embed, warp_alpha=None,
-            precision=None) -> rigid.Screw:
+            precision=None, dtype=None) -> rigid.Screw:
     """Evaluate the field once: per-point screw motion. points: [N, 3]."""
     points_embed = math_ops.posenc(points, self.min_deg, self.max_deg,
                                    self.use_posenc_identity, warp_alpha)
     inputs = jnp.concatenate([points_embed, metadata_embed], axis=-1)
-    trunk_out = self.trunk.apply(params['trunk'], inputs, precision=precision)
-    w = mlp_lib.dense_apply(params['w'], trunk_out, precision=precision)
-    v = mlp_lib.dense_apply(params['v'], trunk_out, precision=precision)
-    return rigid.screw_from_raw(w, v)
+    trunk_out = self.trunk.apply(params['trunk'], inputs,
+                                 precision=precision, dtype=dtype)
+    w = mlp_lib.dense_apply(params['w'], trunk_out, precision=precision,
+                            dtype=dtype)
+    v = mlp_lib.dense_apply(params['v'], trunk_out, precision=precision,
+                            dtype=dtype)
+    # Screw math runs in f32 regardless of the MLP compute dtype.
+    return rigid.screw_from_raw(w.astype(jnp.float32),
+                                v.astype(jnp.float32))
 
   def warp(self, params, points, metadata_embed, warp_alpha=None,
-           precision=None):
+           precision=None, dtype=None):
     """Point warp x -> exp(θS) x (reference SE3Field.warp default mode)."""
-    screw = self.screw(params, points, metadata_embed, warp_alpha, precision)
+    screw = self.screw(params, points, metadata_embed, warp_alpha, precision,
+                       dtype)
     return rigid.transform_point(screw, points)
 
   def warp_jacobian(self, params, points, metadata_embed, warp_alpha=None):
