@@ -81,6 +81,19 @@ class ModelConfig:
   use_hyper_for_sigma: bool = True
   use_hyper_for_rgb: bool = False
 
+  # Screw-axis rgb conditioning (SpecularConfig.screw_input_mode:
+  # None | 'rotation' (w only) | 'full' (w ⊕ v)).
+  screw_input_mode: Optional[str] = None
+
+  # Hyper-c: ambient coordinates for the COLOR branch, predicted from
+  # (points, viewdirs[, normals]) by a separate sheet MLP
+  # (reference models.py:189-196, 672-708, 1168-1190).
+  use_hyper_c: bool = False
+  hyper_c_hyper_input: bool = False
+  use_hyper_c_embed: bool = True
+  hyper_c_num_dims: int = 2
+  hyper_c_embed_dims: int = 8
+
   # Surface normals / specular branch.
   predict_norm: bool = False
   norm_supervision_type: str = 'warped'  # warped | canonical | direct | canonical_unwarped

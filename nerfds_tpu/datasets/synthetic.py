@@ -165,6 +165,23 @@ class SyntheticDataSource(DataSource):
   def get_warp_id(self, item_id) -> int:
     return int(item_id)
 
+  def get_item_metadata(self, item_id: str):
+    """Val frames are unseen *times*: their metadata is the
+    (left, right, progression) interpolation triple between the neighbouring
+    train frames (the reference's interp-benchmark convention,
+    interp.py:196-213), so evaluation doesn't read an untrained embedding."""
+    if item_id in self.train_ids or not self.use_warp_id:
+      return super().get_item_metadata(item_id)
+    meta = super().get_item_metadata(item_id)
+    idx = int(item_id)
+    train_idxs = np.asarray([int(i) for i in self.train_ids])
+    left = train_idxs[train_idxs < idx].max(initial=train_idxs.min())
+    right = train_idxs[train_idxs > idx].min(initial=train_idxs.max())
+    progression = 0.0 if right == left else (idx - left) / (right - left)
+    triple = np.asarray([float(left), float(right), progression], np.float32)
+    meta['warp'] = triple
+    return meta
+
   def get_appearance_id(self, item_id) -> int:
     return int(item_id)
 

@@ -173,7 +173,9 @@ class NerfDSModel:
   @property
   def norm_input_dim(self) -> int:
     cfg = self.config
-    if not self.has_norm_input:
+    if not self.has_norm_input or cfg.use_hyper_c:
+      # hyper-c replaces the normal features in the rgb branch
+      # (reference models.py:1188-1190).
       return 0
     if cfg.norm_input_posenc:
       return math_ops.posenc_dim(3, cfg.norm_input_min_deg,
@@ -192,7 +194,9 @@ class NerfDSModel:
     """Channels of rgb_condition (viewdirs ⊕ appearance embed)."""
     cfg = self.config
     d = 0
-    if cfg.use_viewdirs:
+    if cfg.use_viewdirs and not cfg.use_hyper_c:
+      # With hyper-c the view direction feeds the hyper-c sheet instead of
+      # the rgb condition (reference models.py:400).
       d += math_ops.posenc_dim(3, cfg.viewdir_min_deg, cfg.viewdir_max_deg,
                                cfg.use_posenc_identity)
     if cfg.use_nerf_embed and cfg.use_rgb_condition:
@@ -200,9 +204,39 @@ class NerfDSModel:
     return d
 
   @property
+  def screw_condition_dim(self) -> int:
+    mode = self.config.screw_input_mode
+    if mode in (None, 'none', 'None') or self.config.use_hyper_c:
+      return 0
+    return {'rotation': 3, 'full': 6}[mode]
+
+  @property
+  def hyper_c_input_dim(self) -> int:
+    cfg = self.config
+    d = 6  # points ⊕ viewdirs
+    if self.has_norm_input:
+      d += 3
+    if cfg.use_ref_radiance:
+      d += 3
+    return d
+
+  @property
+  def hyper_c_sheet(self) -> HyperSheetMLP:
+    cfg = self.config
+    return HyperSheetMLP(output_channels=cfg.hyper_c_num_dims,
+                         min_deg=cfg.hyper_sheet_min_deg,
+                         max_deg=cfg.hyper_sheet_max_deg,
+                         depth=cfg.hyper_sheet_depth,
+                         width=cfg.hyper_sheet_width,
+                         skips=cfg.hyper_sheet_skips)
+
+  @property
   def extra_rgb_condition_dim(self) -> int:
     cfg = self.config
     d = 0
+    if cfg.use_hyper_c:
+      d += math_ops.posenc_dim(cfg.hyper_c_num_dims, cfg.hyper_point_min_deg,
+                               cfg.hyper_point_max_deg, False)
     if cfg.use_x_in_rgb_condition:
       if cfg.window_x_in_rgb_condition:
         d += math_ops.posenc_dim(3, cfg.x_for_rgb_min_deg,
@@ -257,8 +291,21 @@ class NerfDSModel:
     if cfg.use_predicted_mask:
       params['mask_embed'] = self.mask_embed.init(keys[5])
       params['mask_mlp'] = self.mask_mlp.init(keys[6], self.mask_metadata_dim)
+    if cfg.use_hyper_c:
+      k_hc_embed, k_hc = jax.random.split(jax.random.fold_in(keys[7], 1))
+      params['hyper_c_embed'] = GLOEmbed(
+          self.num_hyper_embeds, cfg.hyper_c_embed_dims).init(k_hc_embed)
+      # The sheet posenc's the full (points ⊕ viewdirs ⊕ ...) input vector.
+      hc_in_extra = (math_ops.posenc_dim(
+          self.hyper_c_input_dim, cfg.hyper_sheet_min_deg,
+          cfg.hyper_sheet_max_deg, False)
+          - math_ops.posenc_dim(3, cfg.hyper_sheet_min_deg,
+                                cfg.hyper_sheet_max_deg, False))
+      embed_dim = cfg.hyper_c_embed_dims if cfg.use_hyper_c_embed else 0
+      params['hyper_c_mlp'] = self.hyper_c_sheet.init(
+          k_hc, hc_in_extra + embed_dim)
     rgb_total = (self.rgb_condition_dim + self.extra_rgb_condition_dim
-                 + self.norm_input_dim)
+                 + self.screw_condition_dim + self.norm_input_dim)
     nerf_keys = jax.random.split(keys[7], len(self.levels))
     params['nerf'] = {
         level: self.nerf_mlp.init(k, self.nerf_in_dim,
@@ -435,7 +482,7 @@ class NerfDSModel:
             self.encode_hyper_embed(params, metadata))
     alpha_condition = None
     rgb_condition_parts = []
-    if cfg.use_viewdirs:
+    if cfg.use_viewdirs and not cfg.use_hyper_c:
       viewdirs_feat = math_ops.posenc(
           viewdirs, cfg.viewdir_min_deg, cfg.viewdir_max_deg,
           cfg.use_posenc_identity)
@@ -612,6 +659,44 @@ class NerfDSModel:
 
     # ---- extra rgb conditions (reference models.py:1167-1266) --------------
     extra_rgb_parts = []
+    screw_condition = None
+    if (cfg.screw_input_mode not in (None, 'none', 'None')
+        and not cfg.use_hyper_c and screw is not None):
+      axis6 = screw.axis
+      screw_condition = (axis6[:, :3] if cfg.screw_input_mode == 'rotation'
+                         else axis6)
+    if cfg.use_hyper_c:
+      # Ambient color coordinates (reference map_hyper_c, models.py:672-708):
+      # a sheet MLP over stop-gradient'd points ⊕ viewdirs (⊕ normal ⊕
+      # reflection), replacing the viewdir/normal rgb conditions.
+      if cfg.hyper_c_hyper_input:
+        points_input = jax.lax.stop_gradient(aux['warped'])
+      else:
+        points_input = jax.lax.stop_gradient(pts)
+      viewdirs_b2 = broadcast_ray(viewdirs)
+      hc_in = jnp.concatenate([points_input[..., :3], viewdirs_b2], axis=-1)
+      if norm_input is not None:
+        hc_in = jnp.concatenate([hc_in, norm_input], axis=-1)
+      if cfg.use_ref_radiance:
+        hc_in = jnp.concatenate([hc_in, ref_radiance], axis=-1)
+      if metadata_encoded and 'encoded_hyper_c' in metadata:
+        hyper_c_embed = broadcast_ray(metadata['encoded_hyper_c'])
+      else:
+        hyper_c_embed = broadcast_ray(GLOEmbed(
+            self.num_hyper_embeds, cfg.hyper_c_embed_dims).encode(
+                params['hyper_c_embed'], metadata[cfg.hyper_embed_key]))
+      hyper_c = self.hyper_c_sheet.apply(
+          params['hyper_c_mlp'], hc_in, hyper_c_embed,
+          alpha=None, precision=prec, dtype=self.cdtype
+      ) if cfg.use_hyper_c_embed else self.hyper_c_sheet.apply(
+          params['hyper_c_mlp'], hc_in,
+          jnp.zeros((n, 0)), alpha=None, precision=prec, dtype=self.cdtype)
+      hyper_c_feat = math_ops.posenc(
+          hyper_c, cfg.hyper_point_min_deg, cfg.hyper_point_max_deg, False,
+          alpha=extra_params['hyper_alpha'])
+      extra_rgb_parts.append(hyper_c_feat)
+      out['hyper_c'] = hyper_c.reshape(num_rays, num_samples, -1)
+      norm_input_feat = None  # reference models.py:1188-1190
     if cfg.use_x_in_rgb_condition:
       if cfg.window_x_in_rgb_condition:
         extra_rgb_parts.append(math_ops.posenc(
@@ -659,7 +744,7 @@ class NerfDSModel:
     # ---- rgb + activations -------------------------------------------------
     rgb_raw = self.nerf_mlp.query_rgb(
         params['nerf'][level], aux['trunk_out'], aux['bottleneck'],
-        rgb_condition, extra_rgb_condition, None, norm_input_feat,
+        rgb_condition, extra_rgb_condition, screw_condition, norm_input_feat,
         precision=prec, dtype=self.cdtype)
     rgb = jax.nn.sigmoid(rgb_raw).reshape(num_rays, num_samples, 3)
     sigma_noised = rendering.noise_regularize_sigma(
@@ -715,6 +800,8 @@ class NerfDSModel:
 
     hyper_points = warped_points[..., 3:]
     out['ray_hyper_points'] = (weights[..., None] * hyper_points).sum(axis=-2)
+    if cfg.use_hyper_c:
+      out['ray_hyper_c'] = (weights[..., None] * out['hyper_c']).sum(axis=-2)
 
     if cfg.use_predicted_mask:
       pm = out['predicted_mask']

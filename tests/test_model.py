@@ -247,3 +247,45 @@ def test_interpolated_metadata():
   extra = default_extra_params(cfg)
   out = model.render(params, rays, jax.random.PRNGKey(1), extra)
   assert np.all(np.isfinite(np.asarray(out['fine']['rgb'])))
+
+
+def test_screw_condition_mode():
+  cfg = small(config_lib.nerf_ds, screw_input_mode='rotation')
+  model = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4)
+  params = model.init(jax.random.PRNGKey(0))
+  rays = make_rays()
+  out = model.render(params, rays, jax.random.PRNGKey(1),
+                     default_extra_params(cfg))
+  assert np.all(np.isfinite(np.asarray(out['fine']['rgb'])))
+  cfg_full = small(config_lib.nerf_ds, screw_input_mode='full')
+  model2 = NerfDSModel(config=cfg_full, num_warp_embeds=4, num_hyper_embeds=4)
+  params2 = model2.init(jax.random.PRNGKey(0))
+  # rgb input is 3 channels wider for 'full' than 'rotation'.
+  w1 = params['nerf']['fine']['rgb']['hidden_0']['kernel'].shape[0]
+  w2 = params2['nerf']['fine']['rgb']['hidden_0']['kernel'].shape[0]
+  assert w2 == w1 + 3
+  out2 = model2.render(params2, rays, jax.random.PRNGKey(1),
+                       default_extra_params(cfg_full))
+  assert np.all(np.isfinite(np.asarray(out2['fine']['rgb'])))
+
+
+def test_hyper_c_mode():
+  cfg = small(config_lib.nerf_ds, use_hyper_c=True, hyper_c_hyper_input=True,
+              use_hyper_c_embed=False)
+  model = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4)
+  params = model.init(jax.random.PRNGKey(0))
+  assert 'hyper_c_mlp' in params
+  rays = make_rays()
+  out = model.render(params, rays, jax.random.PRNGKey(1),
+                     default_extra_params(cfg))
+  assert out['fine']['ray_hyper_c'].shape == (8, 2)
+  assert np.all(np.isfinite(np.asarray(out['fine']['rgb'])))
+  # Gradients flow into the hyper_c sheet.
+  def loss(p):
+    o = model.render(p, rays, jax.random.PRNGKey(1),
+                     default_extra_params(cfg))
+    return jnp.mean(o['fine']['rgb'] ** 2)
+  g = jax.grad(loss)(params)
+  gmax = max(float(jnp.abs(x).max())
+             for x in jax.tree_util.tree_leaves(g['hyper_c_mlp']))
+  assert np.isfinite(gmax) and gmax > 0
