@@ -280,6 +280,8 @@ class ExperimentConfig:
   random_seed: int = 0
   datasource_type: str = 'nerfies'  # 'nerfies' | 'interp' | 'synthetic'
   interp_interval: int = 4          # for 'interp' datasources
+  synthetic_frames: int = 8         # for 'synthetic' datasources
+  synthetic_image_size: int = 64
 
 
 # ---------------------------------------------------------------------------

@@ -19,5 +19,7 @@ def from_config(experiment_config):
                             image_scale=cfg.image_scale,
                             random_seed=cfg.random_seed)
   if cfg.datasource_type == 'synthetic':
-    return SyntheticDataSource(random_seed=cfg.random_seed)
+    return SyntheticDataSource(num_frames=cfg.synthetic_frames,
+                               image_size=cfg.synthetic_image_size,
+                               random_seed=cfg.random_seed)
   raise ValueError(f'Unknown datasource type {cfg.datasource_type!r}')

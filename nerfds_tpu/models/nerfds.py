@@ -601,6 +601,32 @@ class NerfDSModel:
     screw = aux['screw']
     norm = aux['norm']
 
+    # 'canonical' supervision targets the density gradient w.r.t. the
+    # CANONICAL (warped ⊕ hyper) coordinates (reference models.py:1010-1033):
+    # a separate per-point grad through only the template MLP.
+    sigma_gradient_w = None
+    if (cfg.predict_norm
+        and cfg.norm_supervision_type in ('canonical', 'canonical_unwarped')):
+      def canonical_sigma(w_pt):
+        feat = math_ops.posenc(
+            w_pt[None, :3], cfg.spatial_point_min_deg,
+            cfg.spatial_point_max_deg, cfg.use_posenc_identity,
+            alpha=extra_params['nerf_alpha'])
+        if w_pt.shape[-1] > 3:
+          hyper_feat = math_ops.posenc(
+              w_pt[None, 3:], cfg.hyper_point_min_deg,
+              cfg.hyper_point_max_deg, False,
+              alpha=extra_params['hyper_alpha'])
+          feat = jnp.concatenate([feat, hyper_feat], axis=-1)
+        t_out, bneck = self.nerf_mlp.query_bottleneck(
+            params['nerf'][level], feat, precision=prec, dtype=self.cdtype)
+        s_raw, _ = self.nerf_mlp.query_sigma(
+            params['nerf'][level], t_out, bneck, None, precision=prec,
+            dtype=self.cdtype)
+        return s_raw[0, 0]
+      grad_w = jax.vmap(jax.grad(canonical_sigma))(aux['warped'])
+      sigma_gradient_w = math_ops.normalize(-grad_w[..., :3])
+
     # Naive (reference-pattern) mode also re-evaluates the warp field for
     # every downstream use of the screw, as the reference does
     # (models.py:1126, :1276, :1294-1300), instead of reusing `screw`.
@@ -776,6 +802,8 @@ class NerfDSModel:
           target = math_ops.normalize(rigid.rotate(fresh_screw(), sigma_gradient))
         else:
           target = math_ops.normalize(sigma_gradient)
+      elif cfg.norm_supervision_type == 'canonical':
+        target = sigma_gradient_w
       elif cfg.norm_supervision_type in ('direct', 'canonical_unwarped'):
         target = sigma_gradient
       else:

@@ -45,9 +45,16 @@ def main():
   train_cfg_raw = json.loads((exp_dir / 'train_config.json').read_text())
   train_cfg = config_lib.TrainConfig(**train_cfg_raw)
 
-  exp_cfg = config_lib.ExperimentConfig(
-      data_dir=args.data_dir, image_scale=args.image_scale,
-      datasource_type=args.datasource)
+  exp_json = exp_dir / 'experiment.json'
+  if exp_json.exists():
+    saved = json.loads(exp_json.read_text())
+    if args.data_dir:
+      saved['data_dir'] = args.data_dir
+    exp_cfg = config_lib.ExperimentConfig(**saved)
+  else:
+    exp_cfg = config_lib.ExperimentConfig(
+        data_dir=args.data_dir, image_scale=args.image_scale,
+        datasource_type=args.datasource)
   datasource = datasets_lib.from_config(exp_cfg)
   trainer = Trainer.from_experiment(model_cfg, train_cfg, datasource,
                                     exp_dir=None, use_mesh=True)

@@ -106,6 +106,9 @@ def main():
       data_dir=args.data_dir, image_scale=args.image_scale,
       datasource_type=args.datasource or datasource_type)
   datasource = datasets_lib.from_config(exp_cfg)
+  Path(args.exp_dir).mkdir(parents=True, exist_ok=True)
+  (Path(args.exp_dir) / 'experiment.json').write_text(
+      config_lib.to_json(exp_cfg))
 
   print(f'devices: {jax.devices()}')
   trainer = Trainer.from_experiment(model_cfg, train_cfg, datasource,

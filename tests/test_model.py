@@ -289,3 +289,16 @@ def test_hyper_c_mode():
   gmax = max(float(jnp.abs(x).max())
              for x in jax.tree_util.tree_leaves(g['hyper_c_mlp']))
   assert np.isfinite(gmax) and gmax > 0
+
+
+def test_canonical_norm_supervision():
+  cfg = small(config_lib.nerf_ds, norm_supervision_type='canonical')
+  model = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4)
+  params = model.init(jax.random.PRNGKey(0))
+  rays = make_rays()
+  out = model.render(params, rays, jax.random.PRNGKey(1),
+                     default_extra_params(cfg))
+  t = np.asarray(out['fine']['target_norm'])
+  assert np.all(np.isfinite(t))
+  np.testing.assert_allclose(np.linalg.norm(t, axis=-1),
+                             np.ones(t.shape[:-1]), rtol=1e-4)
