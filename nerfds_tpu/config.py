@@ -67,6 +67,15 @@ class ModelConfig:
   se3_trunk_width: int = 128
   se3_skips: Tuple[int, ...] = (4,)
 
+  # Skeleton (bone) warp alternative (reference use_bone, models.py:225;
+  # off in every shipped config).
+  use_bone: bool = False
+  num_bones: int = 3
+  bone_trunk_depth: int = 4
+  bone_trunk_width: int = 32
+  bone_moving_mlp_depth: int = 6
+  bone_moving_mlp_width: int = 128
+
   # Hyper (ambient) slicing.
   hyper_slice_method: str = 'none'    # 'none' | 'axis_aligned_plane' | 'bendy_sheet'
   hyper_num_dims: int = 2

@@ -20,15 +20,22 @@ from nerfds_tpu.parallel import mesh as mesh_lib
 
 
 def make_render_fn(model: NerfDSModel, mesh=None, use_sample_at_infinity=None,
-                   return_full: bool = True):
-  """Builds a jitted chunk renderer: (params, rays, key, extra) -> out."""
+                   return_full: bool = True,
+                   compute_sigma_gradient: bool = False):
+  """Builds a jitted chunk renderer: (params, rays, key, extra) -> out.
+
+  ``compute_sigma_gradient=False`` (default) skips the per-point ∇σ during
+  rendering — it only feeds the *training* normal-supervision target, while
+  the rgb path uses the predicted normal — saving the extra backward pass
+  per chunk. Pass True to also render target_norm maps."""
 
   def render_chunk(params, rays, key, extra_params):
     return model.render(
         params, rays, key, extra_params,
         metadata_encoded=True, return_points=False, return_weights=False,
         use_sample_at_infinity=use_sample_at_infinity,
-        return_full=return_full)
+        return_full=return_full,
+        compute_sigma_gradient=compute_sigma_gradient)
 
   if mesh is not None:
     in_shardings = (mesh_lib.replicated_sharding(mesh),

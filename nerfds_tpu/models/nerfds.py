@@ -42,6 +42,7 @@ from nerfds_tpu.config import ModelConfig
 from nerfds_tpu.models.embeddings import GLOEmbed
 from nerfds_tpu.models.hyper import HyperSheetMLP, MaskMLP
 from nerfds_tpu.models.mlp import NerfMLP, get_activation
+from nerfds_tpu.models.bones import BoneSE3Field
 from nerfds_tpu.models.warp import SE3Field, TranslationField
 from nerfds_tpu.ops import math as math_ops
 from nerfds_tpu.ops import rendering, rigid, sampling
@@ -84,6 +85,15 @@ class NerfDSModel:
       return TranslationField(min_deg=cfg.warp_min_deg,
                               max_deg=cfg.warp_max_deg)
     raise ValueError(f'Unknown warp field type {cfg.warp_field_type!r}')
+
+  @property
+  def bone_warp_field(self) -> BoneSE3Field:
+    cfg = self.config
+    return BoneSE3Field(num_bones=cfg.num_bones,
+                        trunk_depth=cfg.bone_trunk_depth,
+                        trunk_width=cfg.bone_trunk_width,
+                        moving_mlp_depth=cfg.bone_moving_mlp_depth,
+                        moving_mlp_width=cfg.bone_moving_mlp_width)
 
   @property
   def hyper_sheet(self) -> HyperSheetMLP:
@@ -279,8 +289,12 @@ class NerfDSModel:
     params: Dict[str, Any] = {}
     if cfg.use_warp:
       params['warp_embed'] = self.warp_embed.init(keys[0])
-      params['warp_field'] = self.warp_field.init(keys[1],
-                                                  self.warp_metadata_dim)
+      if cfg.use_bone:
+        params['bone_warp_field'] = self.bone_warp_field.init(
+            keys[1], self.warp_metadata_dim)
+      else:
+        params['warp_field'] = self.warp_field.init(keys[1],
+                                                    self.warp_metadata_dim)
     if self.use_hyper_embed:
       params['hyper_embed'] = self.hyper_embed.init(keys[2])
     if cfg.has_hyper and cfg.hyper_slice_method == 'bendy_sheet':
@@ -349,6 +363,16 @@ class NerfDSModel:
       encoded['encoded_mask'] = self.encode_mask_embed(params, metadata)
     return encoded
 
+  def get_bone_moving_mask(self, params, points, warp_metadata):
+    """Moving-mask of free-space points (bone-mode background loss,
+    reference training.py:166-170)."""
+    warp_embed = self.warp_embed.encode(params['warp_embed'], warp_metadata)
+    if self.config.use_mask_in_warp:
+      mask = jnp.zeros([*warp_embed.shape[:-1], 1])
+      warp_embed = jnp.concatenate([warp_embed, mask], axis=-1)
+    return self.bone_warp_field.moving_mask(
+        params['bone_warp_field'], points, warp_embed, self.precision)
+
   def apply_warp(self, params, points, warp_metadata, extra_params):
     """Warp free-space points (background regularisation;
     reference models.py:766-773). points [P,3], warp_metadata [P,1] int."""
@@ -377,7 +401,15 @@ class NerfDSModel:
 
     def sigma_fn(p):
       screw = None
-      if use_warp and cfg.use_warp:
+      moving_mask = None
+      bone_weights = None
+      if use_warp and cfg.use_warp and cfg.use_bone:
+        bone_out = self.bone_warp_field.warp(
+            params['bone_warp_field'], p, warp_in_embed, prec)
+        warped_spatial = bone_out['warped_points']
+        moving_mask = bone_out['moving_mask']
+        bone_weights = bone_out['bone_weights']
+      elif use_warp and cfg.use_warp:
         if cfg.warp_field_type == 'se3':
           screw = self.warp_field.screw(params['warp_field'], p,
                                         warp_in_embed,
@@ -430,6 +462,8 @@ class NerfDSModel:
           'trunk_out': trunk_out,
           'bottleneck': bottleneck,
           'norm': norm,
+          'moving_mask': moving_mask,
+          'bone_weights': bone_weights,
       }
       return sigma_raw[..., 0], aux
 
@@ -447,7 +481,8 @@ class NerfDSModel:
                      metadata_encoded=False, return_warp_jacobian=False,
                      use_sample_at_infinity=True, mask_ratio=1.0,
                      sharp_weights_std=1.0, x_for_rgb_alpha=4.0,
-                     return_full=False) -> Dict[str, jnp.ndarray]:
+                     return_full=False,
+                     compute_sigma_gradient=None) -> Dict[str, jnp.ndarray]:
     cfg = self.config
     prec = self.precision
     num_rays, num_samples = points.shape[:2]
@@ -544,7 +579,9 @@ class NerfDSModel:
         alpha_condition, extra_params, use_warp=use_warp,
         hyper_override=hyper_override)
 
-    if cfg.needs_sigma_gradient:
+    if compute_sigma_gradient is None:
+      compute_sigma_gradient = cfg.needs_sigma_gradient
+    if compute_sigma_gradient:
       if cfg.sigma_gradient_mode in ('vmap', 'naive'):
         # Per-point value_and_grad under vmap (the reference pattern,
         # models.py:1065-1073). Counter-intuitively this is the FASTEST
@@ -605,7 +642,7 @@ class NerfDSModel:
     # CANONICAL (warped ⊕ hyper) coordinates (reference models.py:1010-1033):
     # a separate per-point grad through only the template MLP.
     sigma_gradient_w = None
-    if (cfg.predict_norm
+    if (cfg.predict_norm and compute_sigma_gradient
         and cfg.norm_supervision_type in ('canonical', 'canonical_unwarped')):
       def canonical_sigma(w_pt):
         feat = math_ops.posenc(
@@ -795,6 +832,11 @@ class NerfDSModel:
     if cfg.predict_norm:
       norm_rs = norm.reshape(num_rays, num_samples, 3)
       out['predicted_norm'] = norm_rs
+      viewdirs_rs = jnp.broadcast_to(viewdirs[:, None, :],
+                                     (num_rays, num_samples, 3))
+      back_facing = jnp.sum(norm_rs * viewdirs_rs, axis=-1)
+      out['back_facing'] = jnp.square(jax.nn.relu(back_facing))
+    if cfg.predict_norm and sigma_gradient is not None:
       if cfg.norm_supervision_type == 'warped':
         # Canonical-frame target: rotate ∇σ forward by the same screw
         # (reference map_vectors forward, models.py:1276-1277).
@@ -809,10 +851,6 @@ class NerfDSModel:
       else:
         raise NotImplementedError(cfg.norm_supervision_type)
       out['target_norm'] = target.reshape(num_rays, num_samples, 3)
-      viewdirs_rs = jnp.broadcast_to(viewdirs[:, None, :],
-                                     (num_rays, num_samples, 3))
-      back_facing = jnp.sum(norm_rs * viewdirs_rs, axis=-1)
-      out['back_facing'] = jnp.square(jax.nn.relu(back_facing))
 
     # ---- per-ray accumulations --------------------------------------------
     if norm is not None:
@@ -838,6 +876,11 @@ class NerfDSModel:
         out['ray_predicted_mask'] = (mask_weights[..., None] * pm).sum(-2)
       else:
         out['ray_predicted_mask'] = (weights[..., None] * pm).sum(-2)
+
+    if cfg.use_bone and aux['moving_mask'] is not None:
+      mm = aux['moving_mask'].reshape(num_rays, num_samples, 1)
+      out['moving_mask'] = mm
+      out['ray_moving_mask'] = (weights[..., None] * mm).sum(axis=-2)
 
     # Median-depth point (reference models.py:1410-1415).
     depth_indices = rendering.compute_depth_index(weights)
@@ -865,7 +908,9 @@ class NerfDSModel:
              return_weights=True, near=None, far=None,
              use_sample_at_infinity=None, mask_ratio=1.0,
              sharp_weights_std=1.0, x_for_rgb_alpha=4.0,
-             return_full=False) -> Dict[str, Dict[str, jnp.ndarray]]:
+             return_full=False,
+             compute_sigma_gradient=None
+             ) -> Dict[str, Dict[str, jnp.ndarray]]:
     """Coarse + fine rendering of a ray batch (reference __call__,
     models.py:1419-1565)."""
     cfg = self.config
@@ -894,7 +939,8 @@ class NerfDSModel:
         return_warp_jacobian=return_warp_jacobian,
         use_sample_at_infinity=cfg.use_sample_at_infinity,
         mask_ratio=mask_ratio, sharp_weights_std=sharp_weights_std,
-        x_for_rgb_alpha=x_for_rgb_alpha, return_full=return_full)
+        x_for_rgb_alpha=x_for_rgb_alpha, return_full=return_full,
+        compute_sigma_gradient=compute_sigma_gradient)
     out = {'coarse': coarse}
 
     if cfg.num_fine_samples > 0:
@@ -911,7 +957,8 @@ class NerfDSModel:
           return_warp_jacobian=return_warp_jacobian,
           use_sample_at_infinity=use_sample_at_infinity,
           mask_ratio=mask_ratio, sharp_weights_std=sharp_weights_std,
-          x_for_rgb_alpha=x_for_rgb_alpha, return_full=return_full)
+          x_for_rgb_alpha=x_for_rgb_alpha, return_full=return_full,
+          compute_sigma_gradient=compute_sigma_gradient)
 
     if not return_weights:
       for level in out:

@@ -66,6 +66,10 @@ def compute_background_loss(model, params, key, points, extra_params,
       key, (points.shape[0], 1), 0, model.num_warp_embeds)
   point_noise = noise_std * jax.random.normal(key, points.shape)
   points = points + point_noise
+  if model.config.use_bone:
+    # Bone mode: free space should not move (reference training.py:166-170).
+    moving_mask = model.get_bone_moving_mask(params, points, metadata)
+    return jnp.abs(moving_mask)
   warped = model.apply_warp(params, points, metadata, extra_params)
   sq_residual = jnp.sum((warped - points) ** 2, axis=-1)
   return math_ops.general_loss_with_squared_residual(

@@ -40,3 +40,30 @@ def test_bone_field_forward():
   grads = jax.grad(loss)(params)
   assert np.isfinite(
       np.asarray(grads['bone_centers'])).all()
+
+
+def test_bone_mode_in_full_model():
+  import sys
+  sys.path.insert(0, 'tests')
+  from test_model import make_rays, small
+  from nerfds_tpu import config as config_lib
+  from nerfds_tpu.models import NerfDSModel, default_extra_params
+  cfg = small(config_lib.nerf_ds, use_bone=True, num_bones=2,
+              bone_trunk_depth=2, bone_trunk_width=16,
+              bone_moving_mlp_depth=2, bone_moving_mlp_width=16)
+  model = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4)
+  params = model.init(jax.random.PRNGKey(0))
+  assert 'bone_warp_field' in params and 'warp_field' not in params
+  rays = make_rays()
+  out = model.render(params, rays, jax.random.PRNGKey(1),
+                     default_extra_params(cfg))
+  assert out['fine']['ray_moving_mask'].shape == (8, 1)
+  assert np.all(np.isfinite(np.asarray(out['fine']['rgb'])))
+  # Gradients flow into bone params through the full model.
+  def loss(p):
+    o = model.render(p, rays, jax.random.PRNGKey(1),
+                     default_extra_params(cfg))
+    return jnp.mean(o['fine']['rgb'] ** 2)
+  g = jax.grad(loss)(params)
+  leaves = jax.tree_util.tree_leaves(g['bone_warp_field'])
+  assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
