@@ -822,7 +822,8 @@ class NerfDSModel:
         use_white_background=cfg.use_white_background,
         sample_at_infinity=use_sample_at_infinity,
         use_sharp_weights=cfg.use_rgb_sharp_weights,
-        sharp_weights_std=sharp_weights_std))
+        sharp_weights_std=sharp_weights_std,
+        backend='pallas' if cfg.use_pallas_compositing else 'xla'))
     weights = out['weights']
 
     warped_points = aux['warped'].reshape(num_rays, num_samples, -1)

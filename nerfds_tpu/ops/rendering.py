@@ -87,13 +87,33 @@ def compute_depth_map(weights, z_vals, depth_threshold=0.5):
 
 def volumetric_rendering(rgb, sigma, z_vals, dirs, use_white_background,
                          sample_at_infinity=True, eps=1e-10,
-                         use_sharp_weights=False, sharp_weights_std=1.0
-                         ) -> Dict[str, jnp.ndarray]:
+                         use_sharp_weights=False, sharp_weights_std=1.0,
+                         backend: str = 'xla') -> Dict[str, jnp.ndarray]:
   """Composite per-sample (rgb, σ) into per-ray rgb/depth/acc.
 
   Mirrors reference volumetric_rendering including the 1e10 sample-at-infinity
-  distance and the exclusive cumprod with +eps.
+  distance and the exclusive cumprod with +eps. ``backend='pallas'`` runs the
+  fused TPU kernel (pallas/composite.py; falls back to XLA when weight
+  sharpening is requested, which reorders the reductions).
   """
+  if backend == 'pallas' and not use_sharp_weights:
+    from nerfds_tpu.pallas.composite import composite
+    out_rgb, exp_depth, acc, weights, alpha, accum_prod = composite(
+        rgb, sigma, z_vals, dirs, sample_at_infinity, eps)
+    med_depth = compute_depth_map(weights, z_vals)
+    if use_white_background:
+      out_rgb = out_rgb + (1.0 - acc[..., None])
+    if sample_at_infinity:
+      acc = weights[..., :-1].sum(axis=-1)
+    return {
+        'rgb': out_rgb,
+        'depth': exp_depth,
+        'med_depth': med_depth,
+        'acc': acc,
+        'weights': weights,
+        'alpha': alpha,
+        'accum_prod': accum_prod,
+    }
   alpha, weights, accum_prod = compute_alpha_and_weights(
       sigma, z_vals, dirs, sample_at_infinity, eps)
   if use_sharp_weights:

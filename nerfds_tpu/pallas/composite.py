@@ -1,0 +1,159 @@
+"""Fused volume-compositing kernel (Pallas TPU).
+
+One pass over a ray tile computes distances, alpha, the exclusive
+transmittance cumprod, weights, and the weighted rgb/depth/acc reductions —
+the work of ``ops.rendering.volumetric_rendering``'s core — without
+materialising the intermediates in HBM. The sample axis (S ≈ 128) lives
+along VMEM lanes; the cumprod is a log-depth prefix product in-register.
+
+Differentiability: wrapped in ``jax.custom_vjp`` whose backward is the XLA
+pullback of the reference jnp implementation (correct for training; the
+forward fusion is where the win is — the backward stays on the XLA path).
+A/B-tested against ``ops.rendering`` in interpret mode.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+  return ((x + m - 1) // m) * m
+
+
+def _composite_reference(rgb, sigma, z_vals, dirs, sample_at_infinity, eps):
+  """The jnp formulation (ops.rendering), used for the backward pass."""
+  last_sample_z = 1e10 if sample_at_infinity else 1e-19
+  dists = jnp.concatenate([
+      z_vals[..., 1:] - z_vals[..., :-1],
+      jnp.broadcast_to(jnp.asarray([last_sample_z]), z_vals[..., :1].shape),
+  ], -1)
+  dists = dists * jnp.linalg.norm(dirs[..., None, :], axis=-1)
+  alpha = 1.0 - jnp.exp(-sigma * dists)
+  accum = jnp.concatenate([
+      jnp.ones_like(alpha[..., :1]),
+      jnp.cumprod(1.0 - alpha[..., :-1] + eps, axis=-1),
+  ], axis=-1)
+  weights = alpha * accum
+  out_rgb = (weights[..., None] * rgb).sum(axis=-2)
+  depth = (weights * z_vals).sum(axis=-1)
+  acc = weights.sum(axis=-1)
+  return out_rgb, depth, acc, weights, alpha, accum
+
+
+def _kernel(rgb_ref, sigma_ref, z_ref, dirnorm_ref,
+            rgb_out, depth_out, acc_out, weights_out, alpha_out, accum_out,
+            *, sample_at_infinity: bool, eps: float, num_samples: int):
+  z = z_ref[:]                      # [T, S]
+  sigma = sigma_ref[:]              # [T, S]
+  dirnorm = dirnorm_ref[:]          # [T, 1]
+  last = 1e10 if sample_at_infinity else 1e-19
+  dists = jnp.concatenate(
+      [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], last)], axis=-1)
+  dists = dists * dirnorm
+  alpha = 1.0 - jnp.exp(-sigma * dists)
+  # Exclusive prefix product of (1 - alpha + eps) via log-cumsum (the terms
+  # are > 0 by construction: 1-alpha >= 0 and +eps).
+  shifted = jnp.concatenate(
+      [jnp.ones_like(alpha[:, :1]), 1.0 - alpha[:, :-1] + eps], axis=-1)
+  accum = jnp.exp(jnp.cumsum(jnp.log(shifted), axis=-1))
+  weights = alpha * accum
+  alpha_out[:] = alpha
+  accum_out[:] = accum
+  weights_out[:] = weights
+  # Reductions.
+  rgb = rgb_ref[:]                  # [T, S, 3] -> stored as [T, S*3]
+  rgb = rgb.reshape(rgb.shape[0], num_samples, 3)
+  rgb_out[:] = jnp.sum(weights[..., None] * rgb, axis=-2)
+  depth_out[:] = jnp.sum(weights * z, axis=-1, keepdims=True)
+  acc_out[:] = jnp.sum(weights, axis=-1, keepdims=True)
+
+
+def _forward_pallas(rgb, sigma, z_vals, dirs, sample_at_infinity, eps,
+                    tile, interpret):
+  num_rays, num_samples = sigma.shape
+  n_pad = _round_up(max(num_rays, 8), tile)
+  pad = n_pad - num_rays
+  if pad:
+    rgb = jnp.pad(rgb, ((0, pad), (0, 0), (0, 0)))
+    sigma = jnp.pad(sigma, ((0, pad), (0, 0)))
+    z_vals = jnp.pad(z_vals, ((0, pad), (0, 0)), constant_values=1.0)
+    dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
+  dirnorm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+  rgb_flat = rgb.reshape(n_pad, num_samples * 3)
+
+  kernel = functools.partial(_kernel, sample_at_infinity=sample_at_infinity,
+                             eps=eps, num_samples=num_samples)
+  grid = (n_pad // tile,)
+  row = lambda i: (i, 0)
+  outs = pl.pallas_call(
+      kernel,
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((tile, num_samples * 3), row,
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile, num_samples), row, memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile, num_samples), row, memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile, 1), row, memory_space=pltpu.VMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec((tile, 3), row, memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile, 1), row, memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile, 1), row, memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile, num_samples), row, memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile, num_samples), row, memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile, num_samples), row, memory_space=pltpu.VMEM),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((n_pad, 3), jnp.float32),
+          jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+          jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+          jax.ShapeDtypeStruct((n_pad, num_samples), jnp.float32),
+          jax.ShapeDtypeStruct((n_pad, num_samples), jnp.float32),
+          jax.ShapeDtypeStruct((n_pad, num_samples), jnp.float32),
+      ],
+      interpret=interpret,
+  )(rgb_flat, sigma, z_vals, dirnorm)
+  out_rgb, depth, acc, weights, alpha, accum = outs
+  trim = lambda x: x[:num_rays]
+  return (trim(out_rgb), trim(depth)[:, 0], trim(acc)[:, 0], trim(weights),
+          trim(alpha), trim(accum))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def composite(rgb, sigma, z_vals, dirs, sample_at_infinity=True,
+              eps: float = 1e-10, tile: int = 512, interpret: bool = False
+              ) -> Tuple[jnp.ndarray, ...]:
+  """(rgb[R,S,3], σ[R,S], z[R,S], dirs[R,3]) ->
+  (rgb[R,3], depth[R], acc_all[R], weights[R,S], alpha[R,S], accum[R,S]).
+
+  ``acc_all`` sums ALL weights; the sample-at-infinity acc correction
+  (dropping the last sample) is applied by the caller, as in
+  ops.rendering.volumetric_rendering.
+  """
+  return _forward_pallas(rgb, sigma, z_vals, dirs, sample_at_infinity, eps,
+                         tile, interpret)
+
+
+def _composite_fwd(rgb, sigma, z_vals, dirs, sample_at_infinity, eps, tile,
+                   interpret):
+  out = _forward_pallas(rgb, sigma, z_vals, dirs, sample_at_infinity, eps,
+                        tile, interpret)
+  return out, (rgb, sigma, z_vals, dirs)
+
+
+def _composite_bwd(sample_at_infinity, eps, tile, interpret, residuals, g):
+  rgb, sigma, z_vals, dirs = residuals
+  _, vjp_fn = jax.vjp(
+      lambda r, s, z, d: _composite_reference(r, s, z, d,
+                                              sample_at_infinity, eps),
+      rgb, sigma, z_vals, dirs)
+  return vjp_fn(g)
+
+
+composite.defvjp(_composite_fwd, _composite_bwd)
