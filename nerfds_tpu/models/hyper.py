@@ -42,7 +42,7 @@ class HyperSheetMLP:
             dtype=None):
     points_feat = math_ops.posenc(points, self.min_deg, self.max_deg,
                                   use_identity=False, alpha=alpha)
-    inputs = jnp.concatenate([points_feat, embed], axis=-1)
+    inputs = [points_feat, embed]  # virtual concat (split-weight)
     out = self.mlp.apply(params['mlp'], inputs, precision=precision,
                          dtype=dtype)
     if self.use_residual:
@@ -78,7 +78,7 @@ class MaskMLP:
     points_feat = math_ops.posenc(points, self.min_deg, self.max_deg,
                                   use_identity=False, alpha=alpha)
     if use_embed:
-      inputs = jnp.concatenate([points_feat, embed], axis=-1)
+      inputs = [points_feat, embed]  # virtual concat (split-weight)
     else:
       inputs = points_feat
     return self.mlp.apply(params['mlp'], inputs, precision=precision,

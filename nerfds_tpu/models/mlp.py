@@ -55,11 +55,40 @@ def dense_init(key, in_dim: int, out_dim: int,
 
 
 def dense_apply(params, x, precision=None, dtype=None):
+  """Dense layer; ``x`` may be a list of feature blocks.
+
+  A list is treated as the concatenation ``concat(x, -1)`` WITHOUT
+  materialising it: the kernel is row-sliced per block and the partial
+  matmuls are summed (`concat([a,b]) @ W == a @ W[:da] + b @ W[da:]`).
+  Concat→Dense is the dominant pattern in this model (trunk skips, rgb
+  conditions, embed⊕posenc inputs); on TPU the fused form avoids writing the
+  wide concatenated activation to HBM and the layout copies XLA inserts
+  around it — the step is HBM-bound, so this is a measured win. Weight
+  layout/ckpt format is unchanged (slicing the [in,out] kernel is free).
+  """
   kernel = params['kernel']
-  if dtype is not None:
-    x = x.astype(dtype)
-    kernel = kernel.astype(dtype)
-  y = jnp.matmul(x, kernel, precision=precision)
+  if isinstance(x, (list, tuple)):
+    if len(x) == 1:
+      return dense_apply(params, x[0], precision=precision, dtype=dtype)
+    if dtype is not None:
+      x = [p.astype(dtype) for p in x]
+      kernel = kernel.astype(dtype)
+    y = None
+    offset = 0
+    for p in x:
+      d = p.shape[-1]
+      w = jax.lax.slice_in_dim(kernel, offset, offset + d, axis=0)
+      contrib = jnp.matmul(p, w, precision=precision)
+      y = contrib if y is None else y + contrib
+      offset += d
+    if offset != kernel.shape[0]:
+      raise ValueError(
+          f'feature blocks sum to {offset}, kernel rows {kernel.shape[0]}')
+  else:
+    if dtype is not None:
+      x = x.astype(dtype)
+      kernel = kernel.astype(dtype)
+    y = jnp.matmul(x, kernel, precision=precision)
   if 'bias' in params:
     bias = params['bias'].astype(dtype) if dtype is not None else params['bias']
     y = y + bias
@@ -100,25 +129,33 @@ class MLP:
     return params
 
   def apply(self, params, x, precision=None, dtype=None):
-    """dtype: compute dtype for the dense stack (e.g. bf16). Inputs are cast
+    """``x``: input array or a list of feature blocks (their virtual concat
+    is the input — see `dense_apply`; skip layers re-feed the blocks without
+    materialising the concat either).
+
+    dtype: compute dtype for the dense stack (e.g. bf16). Inputs are cast
     once at entry, activations stay in that dtype between layers (halving
     the HBM traffic of layer activations and backward residuals), and the
     output is cast back to f32."""
     act = get_activation(self.hidden_activation)
-    out_dtype = x.dtype
+    input_parts = list(x) if isinstance(x, (list, tuple)) else [x]
+    out_dtype = input_parts[0].dtype
     if dtype is not None:
-      x = x.astype(dtype)
-    inputs = x
+      input_parts = [p.astype(dtype) for p in input_parts]
+    h = None
     for i in range(self.depth):
+      layer_in = input_parts if i == 0 else [h]
       if i in self.skips:
-        x = jnp.concatenate([x, inputs], axis=-1)
-      x = dense_apply(params[f'hidden_{i}'], x, precision=precision,
-                      dtype=dtype)
-      x = act(x)
+        layer_in = layer_in + input_parts  # reference order: [x, inputs]
+      h = act(dense_apply(params[f'hidden_{i}'], layer_in,
+                          precision=precision, dtype=dtype))
+    x = h if self.depth > 0 else input_parts
     if self.output_channels > 0:
       x = dense_apply(params['logit'], x, precision=precision, dtype=dtype)
       if self.output_activation is not None:
         x = get_activation(self.output_activation)(x)
+    if isinstance(x, (list, tuple)):  # depth=0, no head: identity module
+      x = x[0] if len(x) == 1 else jnp.concatenate(x, axis=-1)
     if dtype is not None:
       x = x.astype(out_dtype)
     return x
@@ -191,7 +228,7 @@ class NerfMLP:
   def query_sigma(self, params, trunk_out, bottleneck, alpha_condition=None,
                   precision=None, dtype=None):
     if alpha_condition is not None:
-      alpha_in = jnp.concatenate([bottleneck, alpha_condition], axis=-1)
+      alpha_in = [bottleneck, alpha_condition]
     else:
       alpha_in = trunk_out
     out = dense_apply(params['alpha']['logit'], alpha_in, precision=precision,
@@ -208,16 +245,22 @@ class NerfMLP:
                 precision=None, dtype=None):
     """Concat order matches reference query_rgb (modules.py:288-313):
     [bottleneck, rgb_condition], extra, screw, norm."""
+    def extend(acc, cond):
+      if isinstance(cond, (list, tuple)):
+        acc.extend(cond)
+      else:
+        acc.append(cond)
     if rgb_condition is not None:
-      rgb_in = jnp.concatenate([bottleneck, rgb_condition], axis=-1)
+      rgb_in = [bottleneck]
+      extend(rgb_in, rgb_condition)
     else:
-      rgb_in = trunk_out
+      rgb_in = [trunk_out]
     if extra_rgb_condition is not None:
-      rgb_in = jnp.concatenate([rgb_in, extra_rgb_condition], axis=-1)
+      extend(rgb_in, extra_rgb_condition)
     if screw_condition is not None:
-      rgb_in = jnp.concatenate([rgb_in, screw_condition], axis=-1)
+      rgb_in.append(screw_condition)
     if norm is not None:
-      rgb_in = jnp.concatenate([rgb_in, norm], axis=-1)
+      rgb_in.append(norm)
     rgb_mlp = MLP(depth=self.rgb_branch_depth, width=self.rgb_branch_width,
                   hidden_activation=self.activation,
                   output_channels=self.rgb_channels)

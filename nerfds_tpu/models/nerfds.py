@@ -143,7 +143,10 @@ class NerfDSModel:
 
   @property
   def use_hyper_embed(self) -> bool:
-    return self.config.has_hyper and not self.config.hyper_use_warp_embed
+    # A dedicated hyper embed is needed when the warp embed is unavailable
+    # (hyper-without-warp ablations crash the reference, models.py:330-340).
+    return self.config.has_hyper and not (
+        self.config.hyper_use_warp_embed and self.config.use_warp)
 
   @property
   def warp_metadata_dim(self) -> int:
@@ -336,7 +339,7 @@ class NerfDSModel:
                                   metadata[self.config.warp_embed_key])
 
   def encode_hyper_embed(self, params, metadata):
-    if self.config.hyper_use_warp_embed:
+    if self.config.hyper_use_warp_embed and self.config.use_warp:
       return self.encode_warp_embed(params, metadata)
     return self.hyper_embed.encode(params['hyper_embed'],
                                    metadata[self.config.hyper_embed_key])
@@ -436,16 +439,15 @@ class NerfDSModel:
         warped = jnp.concatenate([warped_spatial, hyper], axis=-1)
       else:
         warped = warped_spatial
-      feat = math_ops.posenc(
+      feat = [math_ops.posenc(
           warped[..., :3], cfg.spatial_point_min_deg,
           cfg.spatial_point_max_deg, cfg.use_posenc_identity,
-          alpha=extra_params['nerf_alpha'])
+          alpha=extra_params['nerf_alpha'])]
       if warped.shape[-1] > 3:
-        hyper_feat = math_ops.posenc(
+        feat.append(math_ops.posenc(
             warped[..., 3:], cfg.hyper_point_min_deg,
             cfg.hyper_point_max_deg, False,
-            alpha=extra_params['hyper_alpha'])
-        feat = jnp.concatenate([feat, hyper_feat], axis=-1)
+            alpha=extra_params['hyper_alpha']))
       trunk_out, bottleneck = self.nerf_mlp.query_bottleneck(
           params['nerf'][level], feat, precision=prec, dtype=self.cdtype)
       sigma_raw, norm = self.nerf_mlp.query_sigma(
@@ -530,8 +532,9 @@ class NerfDSModel:
         alpha_condition = nerf_embed
       if cfg.use_rgb_condition:
         rgb_condition_parts.append(nerf_embed)
-    rgb_condition = (jnp.concatenate(rgb_condition_parts, axis=-1)
-                     if rgb_condition_parts else None)
+    # Passed straight through as feature blocks; `query_rgb` consumes them
+    # via split-weight matmuls (no concat materialised).
+    rgb_condition = rgb_condition_parts if rgb_condition_parts else None
 
     gt_mask_b = broadcast_ray(gt_mask) if gt_mask is not None else None
 
@@ -645,16 +648,15 @@ class NerfDSModel:
     if (cfg.predict_norm and compute_sigma_gradient
         and cfg.norm_supervision_type in ('canonical', 'canonical_unwarped')):
       def canonical_sigma(w_pt):
-        feat = math_ops.posenc(
+        feat = [math_ops.posenc(
             w_pt[None, :3], cfg.spatial_point_min_deg,
             cfg.spatial_point_max_deg, cfg.use_posenc_identity,
-            alpha=extra_params['nerf_alpha'])
+            alpha=extra_params['nerf_alpha'])]
         if w_pt.shape[-1] > 3:
-          hyper_feat = math_ops.posenc(
+          feat.append(math_ops.posenc(
               w_pt[None, 3:], cfg.hyper_point_min_deg,
               cfg.hyper_point_max_deg, False,
-              alpha=extra_params['hyper_alpha'])
-          feat = jnp.concatenate([feat, hyper_feat], axis=-1)
+              alpha=extra_params['hyper_alpha']))
         t_out, bneck = self.nerf_mlp.query_bottleneck(
             params['nerf'][level], feat, precision=prec, dtype=self.cdtype)
         s_raw, _ = self.nerf_mlp.query_sigma(
@@ -801,8 +803,7 @@ class NerfDSModel:
         mask_3d = gt_mask_3d
       extra_rgb_parts.append(mask_3d)
 
-    extra_rgb_condition = (jnp.concatenate(extra_rgb_parts, axis=-1)
-                           if extra_rgb_parts else None)
+    extra_rgb_condition = extra_rgb_parts if extra_rgb_parts else None
 
     # ---- rgb + activations -------------------------------------------------
     rgb_raw = self.nerf_mlp.query_rgb(

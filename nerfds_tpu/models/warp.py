@@ -67,7 +67,7 @@ class SE3Field:
     """Evaluate the field once: per-point screw motion. points: [N, 3]."""
     points_embed = math_ops.posenc(points, self.min_deg, self.max_deg,
                                    self.use_posenc_identity, warp_alpha)
-    inputs = jnp.concatenate([points_embed, metadata_embed], axis=-1)
+    inputs = [points_embed, metadata_embed]  # virtual concat (split-weight)
     trunk_out = self.trunk.apply(params['trunk'], inputs,
                                  precision=precision, dtype=dtype)
     w = mlp_lib.dense_apply(params['w'], trunk_out, precision=precision,
@@ -119,7 +119,7 @@ class TranslationField:
            precision=None):
     points_embed = math_ops.posenc(points, self.min_deg, self.max_deg,
                                    self.use_posenc_identity, warp_alpha)
-    inputs = jnp.concatenate([points_embed, metadata_embed], axis=-1)
+    inputs = [points_embed, metadata_embed]  # virtual concat (split-weight)
     translation = self.mlp.apply(params['mlp'], inputs, precision=precision)
     return points + translation
 

@@ -207,6 +207,23 @@ def test_vanilla_config_runs():
   assert np.all(np.isfinite(np.asarray(out['coarse']['rgb'])))
 
 
+def test_hyper_without_warp_uses_dedicated_embed():
+  # Hyper-only ablation: the reference crashes here (hyper_use_warp_embed
+  # aliases a warp embed that is never built, models.py:330-340); this
+  # framework falls back to a dedicated hyper embed.
+  cfg = small(config_lib.nerf_ds, use_warp=False, use_mask_in_warp=False,
+              use_predicted_norm=False, predict_norm=False,
+              use_ref_radiance=False, screw_input_mode='none',
+              use_delta_x_in_rgb_condition=False)
+  model = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4)
+  params = model.init(jax.random.PRNGKey(0))
+  assert 'hyper_embed' in params and 'warp_embed' not in params
+  rays = make_rays()
+  extra = default_extra_params(cfg)
+  out = model.render(params, rays, jax.random.PRNGKey(1), extra)
+  assert np.all(np.isfinite(np.asarray(out['fine']['rgb'])))
+
+
 def test_hypernerf_config_runs_with_elastic_jacobian():
   cfg = small(config_lib.hypernerf)
   model = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4)
