@@ -389,20 +389,15 @@ class NerfDSModel:
 
   # -- the batched σ path ---------------------------------------------------
 
-  def make_sigma_fn(self, params, level, warp_in_embed, hyper_in_embed,
-                    hyper_embed, alpha_condition, extra_params, *,
-                    use_warp=True, hyper_override=None):
-    """Builds the pointwise-batched density function of ``[N, 3]`` points.
-
-    σᵢ depends only on pᵢ (embeds/conditions are fixed per sample), so a
-    ones-cotangent VJP of the returned function gives the per-point ∇σ in
-    one batched backward — the TPU replacement for the reference's
-    vmap(vmap(value_and_grad)) (models.py:1065-1073).
-    """
+  def make_feat_fn(self, params, warp_in_embed, hyper_in_embed,
+                   hyper_embed, extra_params, *, use_warp=True,
+                   hyper_override=None):
+    """Builds p -> (trunk feature blocks, warp/hyper aux) — the part of the
+    σ path *before* the template MLP (warp field, hyper sheet, posencs)."""
     cfg = self.config
     prec = self.precision
 
-    def sigma_fn(p):
+    def feat_fn(p):
       screw = None
       moving_mask = None
       bone_weights = None
@@ -448,6 +443,36 @@ class NerfDSModel:
             warped[..., 3:], cfg.hyper_point_min_deg,
             cfg.hyper_point_max_deg, False,
             alpha=extra_params['hyper_alpha']))
+      aux = {
+          'screw': screw,
+          'warped_spatial': warped_spatial,
+          'hyper': hyper,
+          'warped': warped,
+          'moving_mask': moving_mask,
+          'bone_weights': bone_weights,
+      }
+      return feat, aux
+
+    return feat_fn
+
+  def make_sigma_fn(self, params, level, warp_in_embed, hyper_in_embed,
+                    hyper_embed, alpha_condition, extra_params, *,
+                    use_warp=True, hyper_override=None):
+    """Builds the pointwise-batched density function of ``[N, 3]`` points.
+
+    σᵢ depends only on pᵢ (embeds/conditions are fixed per sample), so a
+    ones-cotangent VJP of the returned function gives the per-point ∇σ in
+    one batched backward — the TPU replacement for the reference's
+    vmap(vmap(value_and_grad)) (models.py:1065-1073).
+    """
+    cfg = self.config
+    prec = self.precision
+    feat_fn = self.make_feat_fn(
+        params, warp_in_embed, hyper_in_embed, hyper_embed, extra_params,
+        use_warp=use_warp, hyper_override=hyper_override)
+
+    def sigma_fn(p):
+      feat, aux = feat_fn(p)
       trunk_out, bottleneck = self.nerf_mlp.query_bottleneck(
           params['nerf'][level], feat, precision=prec, dtype=self.cdtype)
       sigma_raw, norm = self.nerf_mlp.query_sigma(
@@ -456,17 +481,7 @@ class NerfDSModel:
       if norm is not None:
         norm = norm.astype(jnp.float32)
       sigma_raw = sigma_raw.astype(jnp.float32)
-      aux = {
-          'screw': screw,
-          'warped_spatial': warped_spatial,
-          'hyper': hyper,
-          'warped': warped,
-          'trunk_out': trunk_out,
-          'bottleneck': bottleneck,
-          'norm': norm,
-          'moving_mask': moving_mask,
-          'bone_weights': bone_weights,
-      }
+      aux.update(trunk_out=trunk_out, bottleneck=bottleneck, norm=norm)
       return sigma_raw[..., 0], aux
 
     if cfg.remat_sigma:
@@ -584,8 +599,46 @@ class NerfDSModel:
 
     if compute_sigma_gradient is None:
       compute_sigma_gradient = cfg.needs_sigma_gradient
-    if compute_sigma_gradient:
-      if cfg.sigma_gradient_mode in ('vmap', 'naive'):
+    sigma_mode = cfg.sigma_gradient_mode
+    if sigma_mode == 'fused' and (alpha_condition is not None
+                                  or cfg.activation != 'relu'):
+      sigma_mode = 'vmap'  # fused kernel covers the shipped architecture
+    if compute_sigma_gradient and sigma_mode == 'fused':
+      # Fully-fused Pallas trunk: one kernel returns σ, heads AND ∂σ/∂feat
+      # (hand-derived custom VJP — see pallas/fused_trunk.py). The small
+      # warp/hyper feature pullback stays ordinary XLA autodiff.
+      from nerfds_tpu.pallas import fused_trunk as ft_lib
+      feat_fn = self.make_feat_fn(
+          params, warp_in_embed, hyper_in_embed, hyper_embed, extra_params,
+          use_warp=use_warp, hyper_override=hyper_override)
+
+      def feat_concat(p):
+        parts, aux_f = feat_fn(p)
+        f = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        return f, aux_f
+
+      feat, feat_pullback, aux = jax.vjp(feat_concat, pts, has_aux=True)
+      spec = ft_lib.TrunkSpec(
+          depth=cfg.nerf_trunk_depth, width=cfg.nerf_trunk_width,
+          skips=tuple(cfg.nerf_skips), in_dim=feat.shape[-1],
+          alpha_channels=1,
+          norm_dim=self.nerf_mlp.norm_dim if cfg.predict_norm else 0,
+          has_bottleneck=self.has_condition)
+      # On TPU, bf16 operands + f32 accumulation == XLA's default matmul
+      # precision (what the other modes use). On CPU (interpret mode, tests)
+      # XLA computes f32, so match it.
+      on_cpu = jax.default_backend() == 'cpu'
+      fused = ft_lib.cached_trunk_sigma_grad(
+          spec, interpret=on_cpu,
+          compute_dtype=jnp.float32 if (
+              on_cpu or cfg.matmul_precision == 'highest') else jnp.bfloat16)
+      flat = ft_lib.trunk_params_flat(spec, params['nerf'][level])
+      sigma_2d, norm, trunk_out, bottleneck, g_feat = fused(feat, *flat)
+      (grad_pts,) = feat_pullback(g_feat)
+      sigma_raw = sigma_2d[..., 0]
+      aux.update(trunk_out=trunk_out, bottleneck=bottleneck, norm=norm)
+    elif compute_sigma_gradient:
+      if sigma_mode in ('vmap', 'naive'):
         # Per-point value_and_grad under vmap (the reference pattern,
         # models.py:1065-1073). Counter-intuitively this is the FASTEST
         # correct formulation on the current TPU toolchain: vmap batches the
@@ -613,7 +666,7 @@ class NerfDSModel:
                      axis(hyper_override)))(
                          pts, warp_in_embed, hyper_in_embed, hyper_embed,
                          alpha_condition, hyper_override)
-      elif cfg.sigma_gradient_mode == 'jvp':
+      elif sigma_mode == 'jvp':
         # Forward-mode: linearize once, push 3 basis tangents. σ is
         # pointwise, so tangent_j = ∂σ/∂x_j per point. The outer training
         # backward is then reverse-over-forward, which the TPU XLA stack
@@ -626,16 +679,19 @@ class NerfDSModel:
           dsigma, _ = lin(tangent)
           cols.append(dsigma)
         grad_pts = jnp.stack(cols, axis=-1)
-      elif cfg.sigma_gradient_mode == 'vjp':
+      elif sigma_mode == 'vjp':
         sigma_raw, sigma_vjp, aux = jax.vjp(sigma_fn, pts, has_aux=True)
         (grad_pts,) = sigma_vjp(jnp.ones_like(sigma_raw))
       else:
-        raise ValueError(cfg.sigma_gradient_mode)
+        raise ValueError(sigma_mode)
+    else:
+      sigma_raw, aux = sigma_fn(pts)
+      grad_pts = None
+    if grad_pts is not None:
       if cfg.stop_target_norm_gradient:
         grad_pts = jax.lax.stop_gradient(grad_pts)
       sigma_gradient = math_ops.normalize(-grad_pts)
     else:
-      sigma_raw, aux = sigma_fn(pts)
       sigma_gradient = None
 
     screw = aux['screw']

@@ -156,7 +156,7 @@ def test_sigma_gradient_modes_agree(nerf_ds_model):
     return loss, out, grads
 
   loss_vjp, out_vjp, g_vjp = run('vjp')
-  for mode in ('vmap', 'jvp', 'naive'):
+  for mode in ('vmap', 'jvp', 'naive', 'fused'):
     loss_m, out_m, g_m = run(mode)
     np.testing.assert_allclose(float(loss_vjp), float(loss_m), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out_vjp['fine']['target_norm']),
