@@ -607,6 +607,10 @@ class NerfDSModel:
       # Fully-fused Pallas trunk: one kernel returns σ, heads AND ∂σ/∂feat
       # (hand-derived custom VJP — see pallas/fused_trunk.py). The small
       # warp/hyper feature pullback stays ordinary XLA autodiff.
+      # Measured (v5e, batch 2048): numerically identical to 'vmap' but 2.0x
+      # slower end-to-end — the kernel's backward spills per-layer
+      # activations to HBM that XLA keeps fused. Kept as an option; 'vmap'
+      # is the shipped default (see BENCHMARKS.md).
       from nerfds_tpu.pallas import fused_trunk as ft_lib
       feat_fn = self.make_feat_fn(
           params, warp_in_embed, hyper_in_embed, hyper_embed, extra_params,
