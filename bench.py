@@ -50,25 +50,34 @@ def build(batch_size: int, naive: bool):
   return state, step_fn, batch
 
 
-def time_steps(state, step_fn, batch, warmup: int, iters: int) -> float:
-  """Seconds per step, measured over a chain of dependent steps.
+def time_steps(state, step_fn, batch, warmup: int, iters: int,
+               chains: int = 5) -> float:
+  """Seconds per step: median over ``chains`` chains of ``iters`` steps.
 
-  Two transport pitfalls on tunneled devices (axon relay): (a)
+  Three transport pitfalls on tunneled devices (axon relay): (a)
   ``block_until_ready`` returns before execution finishes (inflates
   throughput ~20x), so the fence is a device->host scalar fetch; (b) that
   fetch itself costs a ~30 ms round trip, so per-step fetches inflate the
-  *step* time instead. Chaining ``iters`` steps (state dependency serialises
-  them) and fetching once amortises the RTT to noise.
+  *step* time instead — chaining ``iters`` steps (state dependency
+  serialises them) and fetching once amortises the RTT to noise; (c) the
+  tunnel stalls ~700 ms at irregular intervals, which would inflate any
+  single chain it lands in by tens of ms/step — the median over several
+  chains rejects it.
   """
   key = jax.random.PRNGKey(0)
   for i in range(warmup):
     state, stats = step_fn(state, batch, jax.random.fold_in(key, i))
   _ = float(jax.device_get(stats['coarse']['loss/total']))
-  t0 = time.perf_counter()
-  for i in range(iters):
-    state, stats = step_fn(state, batch, jax.random.fold_in(key, 100 + i))
-  _ = float(jax.device_get(stats['coarse']['loss/total']))
-  return (time.perf_counter() - t0) / iters
+  times = []
+  for c in range(chains):
+    t0 = time.perf_counter()
+    for i in range(iters):
+      state, stats = step_fn(
+          state, batch, jax.random.fold_in(key, 100 + c * iters + i))
+    _ = float(jax.device_get(stats['coarse']['loss/total']))
+    times.append((time.perf_counter() - t0) / iters)
+  times.sort()
+  return times[len(times) // 2]
 
 
 def main():
@@ -79,10 +88,10 @@ def main():
   args = parser.parse_args()
 
   n_chips = jax.device_count()
-  warmup, iters = (2, 5) if args.quick else (5, 20)
+  warmup, iters, chains = (2, 4, 3) if args.quick else (4, 8, 5)
 
   state, step_fn, batch = build(args.batch, naive=False)
-  sec = time_steps(state, step_fn, batch, warmup, iters)
+  sec = time_steps(state, step_fn, batch, warmup, iters, chains)
   rays_per_sec_per_chip = args.batch / sec / n_chips
 
   vs_baseline = None
@@ -93,7 +102,7 @@ def main():
     try:
       state_n, step_n, batch_n = build(args.batch, naive=True)
       sec_n = time_steps(state_n, step_n, batch_n, max(1, warmup // 2),
-                         max(4, iters // 2))
+                         max(4, iters // 2), chains)
       ref_rays = args.batch / sec_n / n_chips
       vs_baseline = rays_per_sec_per_chip / ref_rays
     except Exception as e:  # baseline pattern may fail to compile somewhere

@@ -147,6 +147,11 @@ class ModelConfig:
   # ~100%% of v5e bandwidth), so halving activation bytes is the main lever.
   # Geometry (posenc, SE(3), compositing) stays f32.
   compute_dtype: Optional[str] = None
+  # Restrict bf16 compute to a subset of subnetworks (None = all). Zones:
+  # 'warp', 'hyper', 'mask', 'trunk', 'rgb'. Blanket bf16 costs ~7 dB of
+  # novel-time PSNR (BENCHMARKS.md); zoned bf16 keeps the precision-critical
+  # geometry MLPs (warp/hyper) f32 while the wide trunk/rgb stacks run bf16.
+  bf16_zones: Optional[Tuple[str, ...]] = None
   use_pallas_compositing: bool = False
   # How to compute the batched per-point ∇σ (measured on v5e, full config,
   # batch 2048, chained timing):
@@ -395,7 +400,8 @@ def to_json(cfg) -> str:
 
 def model_config_from_dict(d: Dict[str, Any]) -> ModelConfig:
   d = dict(d)
-  for key in ('nerf_skips', 'se3_skips', 'hyper_sheet_skips', 'mask_skips'):
+  for key in ('nerf_skips', 'se3_skips', 'hyper_sheet_skips', 'mask_skips',
+              'bf16_zones'):
     if key in d and d[key] is not None:
       d[key] = tuple(d[key])
   return ModelConfig(**d)

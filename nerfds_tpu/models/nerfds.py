@@ -72,6 +72,22 @@ class NerfDSModel:
     traffic on the bandwidth-bound training step)."""
     return jnp.bfloat16 if self.config.compute_dtype == 'bfloat16' else None
 
+  def cdtype_for(self, zone: str):
+    """Per-subnetwork compute dtype.
+
+    ``config.bf16_zones`` restricts ``compute_dtype='bfloat16'`` to a subset
+    of {'warp', 'hyper', 'mask', 'trunk', 'rgb'}; zones outside the set stay
+    f32. Round-1 measurement: blanket bf16 costs ~7 dB of novel-time PSNR
+    (BENCHMARKS.md) — the damage is in the geometry path, so e.g.
+    ``bf16_zones=('trunk', 'rgb', 'mask')`` keeps the warp/hyper fields f32.
+    """
+    if self.cdtype is None:
+      return None
+    zones = self.config.bf16_zones
+    if zones is None or zone in zones:
+      return self.cdtype
+    return None
+
   @property
   def warp_field(self):
     cfg = self.config
@@ -385,7 +401,7 @@ class NerfDSModel:
       warp_embed = jnp.concatenate([warp_embed, mask], axis=-1)
     return self.warp_field.warp(params['warp_field'], points, warp_embed,
                                 extra_params['warp_alpha'], self.precision,
-                                self.cdtype)
+                                self.cdtype_for('warp'))
 
   # -- the batched σ path ---------------------------------------------------
 
@@ -412,7 +428,7 @@ class NerfDSModel:
           screw = self.warp_field.screw(params['warp_field'], p,
                                         warp_in_embed,
                                         extra_params['warp_alpha'], prec,
-                                        self.cdtype)
+                                        self.cdtype_for('warp'))
           warped_spatial = rigid.transform_point(screw, p)
         else:
           warped_spatial = self.warp_field.warp(
@@ -427,7 +443,7 @@ class NerfDSModel:
         hyper = self.hyper_sheet.apply(
             params['hyper_sheet'], p, hyper_in_embed,
             alpha=extra_params['hyper_sheet_alpha'], precision=prec,
-            dtype=self.cdtype)
+            dtype=self.cdtype_for('hyper'))
       elif cfg.hyper_slice_method == 'axis_aligned_plane':
         hyper = hyper_embed
       if hyper is not None and cfg.use_hyper_for_sigma:
@@ -474,10 +490,11 @@ class NerfDSModel:
     def sigma_fn(p):
       feat, aux = feat_fn(p)
       trunk_out, bottleneck = self.nerf_mlp.query_bottleneck(
-          params['nerf'][level], feat, precision=prec, dtype=self.cdtype)
+          params['nerf'][level], feat, precision=prec,
+          dtype=self.cdtype_for('trunk'))
       sigma_raw, norm = self.nerf_mlp.query_sigma(
           params['nerf'][level], trunk_out, bottleneck, alpha_condition,
-          precision=prec, dtype=self.cdtype)
+          precision=prec, dtype=self.cdtype_for('trunk'))
       if norm is not None:
         norm = norm.astype(jnp.float32)
       sigma_raw = sigma_raw.astype(jnp.float32)
@@ -569,7 +586,7 @@ class NerfDSModel:
       predicted_mask = self.mask_mlp.apply(
           params['mask_mlp'], pts, mask_embed,
           alpha=extra_params['warp_alpha'], use_embed=cfg.use_mask_embed,
-          precision=prec, dtype=self.cdtype)
+          precision=prec, dtype=self.cdtype_for('mask'))
       out['predicted_mask'] = predicted_mask.reshape(
           num_rays, num_samples, 1)
       if cfg.clamp_predicted_mask:
@@ -718,10 +735,11 @@ class NerfDSModel:
               cfg.hyper_point_max_deg, False,
               alpha=extra_params['hyper_alpha']))
         t_out, bneck = self.nerf_mlp.query_bottleneck(
-            params['nerf'][level], feat, precision=prec, dtype=self.cdtype)
+            params['nerf'][level], feat, precision=prec,
+            dtype=self.cdtype_for('trunk'))
         s_raw, _ = self.nerf_mlp.query_sigma(
             params['nerf'][level], t_out, bneck, None, precision=prec,
-            dtype=self.cdtype)
+            dtype=self.cdtype_for('trunk'))
         return s_raw[0, 0]
       grad_w = jax.vmap(jax.grad(canonical_sigma))(aux['warped'])
       sigma_gradient_w = math_ops.normalize(-grad_w[..., :3])
@@ -733,7 +751,7 @@ class NerfDSModel:
       if cfg.sigma_gradient_mode == 'naive' and use_warp and screw is not None:
         return self.warp_field.screw(params['warp_field'], pts, warp_in_embed,
                                      extra_params['warp_alpha'], prec,
-                                     self.cdtype)
+                                     self.cdtype_for('warp'))
       return screw
 
     if return_warp_jacobian and use_warp:
@@ -812,10 +830,11 @@ class NerfDSModel:
                 params['hyper_c_embed'], metadata[cfg.hyper_embed_key]))
       hyper_c = self.hyper_c_sheet.apply(
           params['hyper_c_mlp'], hc_in, hyper_c_embed,
-          alpha=None, precision=prec, dtype=self.cdtype
+          alpha=None, precision=prec, dtype=self.cdtype_for('hyper')
       ) if cfg.use_hyper_c_embed else self.hyper_c_sheet.apply(
           params['hyper_c_mlp'], hc_in,
-          jnp.zeros((n, 0)), alpha=None, precision=prec, dtype=self.cdtype)
+          jnp.zeros((n, 0)), alpha=None, precision=prec,
+          dtype=self.cdtype_for('hyper'))
       hyper_c_feat = math_ops.posenc(
           hyper_c, cfg.hyper_point_min_deg, cfg.hyper_point_max_deg, False,
           alpha=extra_params['hyper_alpha'])
@@ -869,7 +888,7 @@ class NerfDSModel:
     rgb_raw = self.nerf_mlp.query_rgb(
         params['nerf'][level], aux['trunk_out'], aux['bottleneck'],
         rgb_condition, extra_rgb_condition, screw_condition, norm_input_feat,
-        precision=prec, dtype=self.cdtype)
+        precision=prec, dtype=self.cdtype_for('rgb'))
     rgb = jax.nn.sigmoid(rgb_raw).reshape(num_rays, num_samples, 3)
     sigma_noised = rendering.noise_regularize_sigma(
         key, sigma_raw.reshape(num_rays, num_samples), cfg.noise_std,

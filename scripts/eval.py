@@ -29,9 +29,15 @@ def main():
   parser.add_argument('--eval_once', action='store_true')
   parser.add_argument('--save_images', action='store_true')
   parser.add_argument('--poll_secs', type=float, default=10.0)
+  parser.add_argument('--platform', default=None, choices=[None, 'cpu', 'tpu'],
+                      help='force a JAX platform (default: environment '
+                           'default, i.e. the TPU when one is attached)')
   args = parser.parse_args()
 
   import jax
+  if args.platform:
+    jax.config.update('jax_platforms',
+                      'cpu' if args.platform == 'cpu' else 'axon,cpu')
   import numpy as np
   from nerfds_tpu import config as config_lib
   from nerfds_tpu import datasets as datasets_lib

@@ -54,9 +54,15 @@ def main():
                       metavar='model.field=value',
                       help='dotted overrides, e.g. model.num_fine_samples=64')
   parser.add_argument('--no_mesh', action='store_true')
+  parser.add_argument('--platform', default=None, choices=[None, 'cpu', 'tpu'],
+                      help='force a JAX platform (default: environment '
+                           'default, i.e. the TPU when one is attached)')
   args = parser.parse_args()
 
   import jax
+  if args.platform:
+    jax.config.update('jax_platforms',
+                      'cpu' if args.platform == 'cpu' else 'axon,cpu')
   from nerfds_tpu import config as config_lib
   from nerfds_tpu import datasets as datasets_lib
   from nerfds_tpu.trainer import Trainer

@@ -319,3 +319,30 @@ def test_canonical_norm_supervision():
   assert np.all(np.isfinite(t))
   np.testing.assert_allclose(np.linalg.norm(t, axis=-1),
                              np.ones(t.shape[:-1]), rtol=1e-4)
+
+
+def test_bf16_zones_restrict_compute_dtype():
+  """bf16_zones limits bf16 to named subnetworks; the forward stays finite
+  and close to the f32 forward (geometry path f32 => tight agreement)."""
+  cfg = small(config_lib.nerf_ds, compute_dtype='bfloat16',
+              bf16_zones=('trunk', 'rgb', 'mask'))
+  model = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4,
+                      near=0.2, far=2.0)
+  assert model.cdtype_for('trunk') == jnp.bfloat16
+  assert model.cdtype_for('rgb') == jnp.bfloat16
+  assert model.cdtype_for('warp') is None
+  assert model.cdtype_for('hyper') is None
+
+  import dataclasses
+  params = model.init(jax.random.PRNGKey(0))
+  rays = make_rays()
+  extra = default_extra_params(cfg)
+  out = model.render(params, rays, jax.random.PRNGKey(1), extra)
+  f32_model = NerfDSModel(
+      config=dataclasses.replace(cfg, compute_dtype=None),
+      num_warp_embeds=4, num_hyper_embeds=4, near=0.2, far=2.0)
+  out_f32 = f32_model.render(params, rays, jax.random.PRNGKey(1), extra)
+  for level in ('coarse', 'fine'):
+    assert jnp.isfinite(out[level]['rgb']).all()
+    np.testing.assert_allclose(out[level]['rgb'], out_f32[level]['rgb'],
+                               atol=0.1)
