@@ -61,14 +61,27 @@ class TimeTracker:
 
 @dataclasses.dataclass
 class Trainer:
-  """Builds and runs a training experiment."""
+  """Builds and runs a training experiment.
+
+  sampling: 'fused' gathers the minibatch on device inside the step jit
+  (zero steady-state host work); 'host' samples numpy batches in a
+  background thread and feeds the explicit-batch step (the robust fallback,
+  also the right mode for ray stores larger than HBM); 'auto' (default)
+  picks 'host' on the tunneled 'axon' backend — whose runtime crashes on
+  the in-jit device gather (isolated repro: jit of randint+take over a
+  [36k, 3] store kills the worker) — and 'fused' everywhere else.
+  """
   model: NerfDSModel
   train_cfg: config_lib.TrainConfig
   datasource: DataSource
   exp_dir: Optional[Path] = None
   use_mesh: bool = True
+  sampling: str = 'auto'
 
   def __post_init__(self):
+    if self.sampling == 'auto':
+      self.sampling = ('host' if jax.devices()[0].platform == 'axon'
+                       else 'fused')
     self.mesh = mesh_lib.create_mesh() if self.use_mesh else None
     if self.exp_dir is not None:
       self.exp_dir = Path(self.exp_dir)
@@ -91,7 +104,8 @@ class Trainer:
   def from_experiment(cls, model_cfg: config_lib.ModelConfig,
                       train_cfg: config_lib.TrainConfig,
                       datasource: DataSource,
-                      exp_dir=None, use_mesh: bool = True) -> 'Trainer':
+                      exp_dir=None, use_mesh: bool = True,
+                      sampling: str = 'auto') -> 'Trainer':
     embeddings = datasource.embeddings_dict
     num_warp = max(embeddings.get('warp', [0])) + 1
     num_appearance = max(embeddings.get('appearance', [0])) + 1
@@ -103,16 +117,21 @@ class Trainer:
         near=datasource.near, far=datasource.far)
     return cls(model=model, train_cfg=train_cfg, datasource=datasource,
                exp_dir=Path(exp_dir) if exp_dir else None,
-               use_mesh=use_mesh)
+               use_mesh=use_mesh, sampling=sampling)
 
   def build_store(self) -> RayStore:
     store = self.datasource.build_ray_store(self.datasource.train_ids)
+    if self.sampling == 'host':
+      return store  # stays in host RAM; HostRayIterator feeds the device
     sharding = (mesh_lib.batch_sharding(self.mesh)
                 if self.mesh is not None else None)
     return store.device_put(sharding)
 
   def init_state(self, seed: int = 0) -> TrainState:
-    params = self.model.init(jax.random.PRNGKey(seed))
+    # jit the init: eager per-op dispatch over a tunneled TPU backend takes
+    # ~40 s (and can wedge the remote compile queue); compiled it is one
+    # program.
+    params = jax.jit(self.model.init)(jax.random.PRNGKey(seed))
     state = TrainState.create(params)
     if self.mesh is not None:
       state = jax.device_put(state,
@@ -138,8 +157,29 @@ class Trainer:
       state = self.init_state(cfg.random_seed)
     if self.ckpt is not None:
       state, restored_step = self.ckpt.restore(state)
-    step_fn = make_fused_train_step(self.model, cfg, store,
-                                    background_points)
+    host_iter = None
+    if self.sampling == 'host':
+      from nerfds_tpu.datasets.core import HostRayIterator
+      from nerfds_tpu.training.step import make_train_step
+      sharding = (mesh_lib.batch_sharding(self.mesh)
+                  if self.mesh is not None else None)
+      host_iter = HostRayIterator(store, cfg.batch_size,
+                                  seed=cfg.random_seed, sharding=sharding)
+      bg_host = (np.asarray(background_points)
+                 if background_points is not None else None)
+      bg_rng = np.random.RandomState(cfg.random_seed + 31)
+      explicit_step = make_train_step(self.model, cfg, donate=False)
+
+      def step_fn(state, key):
+        batch = next(host_iter)
+        if cfg.use_background_loss and bg_host is not None:
+          n_bg = min(bg_host.shape[0], cfg.background_points_batch_size)
+          idx = bg_rng.randint(0, bg_host.shape[0], n_bg)
+          batch['background_points'] = jnp.asarray(bg_host[idx])
+        return explicit_step(state, batch, key)
+    else:
+      step_fn = make_fused_train_step(self.model, cfg, store,
+                                      background_points)
 
     base_key = jax.random.PRNGKey(cfg.random_seed + 17)
     tracker = TimeTracker()
@@ -166,6 +206,8 @@ class Trainer:
         self.ckpt.save(step + 1, jax.device_get(state))
     if self.ckpt is not None and num_steps % cfg.save_every != 0:
       self.ckpt.save(num_steps, jax.device_get(state))
+    if host_iter is not None:
+      host_iter.close()
     return state
 
   # -- evaluation -----------------------------------------------------------

@@ -167,23 +167,30 @@ def make_fused_train_step(model: NerfDSModel, train_cfg: TrainConfig,
                           background_points: Optional[jnp.ndarray] = None):
   """Step with the minibatch gather fused in: (state, key) -> (state, stats).
 
-  ``store`` must already be device-resident (``RayStore.device_put``); it is
-  closed over as a constant buffer, so each iteration is one XLA launch with
-  no host-side data handling at all.
+  ``store`` must already be device-resident (``RayStore.device_put``). It is
+  passed to the jitted step as an ARGUMENT (bound here), not closed over:
+  a closed-over device array is inlined into the HLO as a literal constant,
+  which some compile services reject or hang on (observed: the axon
+  remote-compile path never returns for a multi-MB literal), while an
+  argument is a plain parameter. Each iteration is still one XLA launch
+  with no host-side data handling — the bound arrays are already committed
+  to device so re-passing them is free.
   """
   schedules = build_schedules(train_cfg)
   loss_fn = make_loss_fn(model, train_cfg)
   batch_size = train_cfg.batch_size
 
-  def step_fn(state: TrainState, key) -> Tuple[TrainState, Dict]:
+  def step_fn(state: TrainState, key, store_dict,
+              bg_points) -> Tuple[TrainState, Dict]:
     key_sample, key_loss, key_bg_pts = jax.random.split(key, 3)
-    batch = sample_batch(store, key_sample, batch_size)
-    if train_cfg.use_background_loss and background_points is not None:
-      n_bg = min(background_points.shape[0],
+    batch = sample_batch(RayStore.from_dict(store_dict), key_sample,
+                         batch_size)
+    if train_cfg.use_background_loss and bg_points is not None:
+      n_bg = min(bg_points.shape[0],
                  train_cfg.background_points_batch_size)
       idx = jax.random.randint(key_bg_pts, (n_bg,), 0,
-                               background_points.shape[0])
-      batch['background_points'] = jnp.take(background_points, idx, axis=0)
+                               bg_points.shape[0])
+      batch['background_points'] = jnp.take(bg_points, idx, axis=0)
     scalars = eval_schedules(schedules, state.step)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     (_, stats), grads = grad_fn(state.params, batch, key_loss, scalars)
@@ -202,4 +209,7 @@ def make_fused_train_step(model: NerfDSModel, train_cfg: TrainConfig,
     stats['learning_rate'] = lr
     return new_state, stats
 
-  return jax.jit(step_fn)
+  jitted = jax.jit(step_fn)
+  store_dict = store.as_dict()
+  return functools.partial(jitted, store_dict=store_dict,
+                           bg_points=background_points)

@@ -54,6 +54,11 @@ def main():
                       metavar='model.field=value',
                       help='dotted overrides, e.g. model.num_fine_samples=64')
   parser.add_argument('--no_mesh', action='store_true')
+  parser.add_argument('--sampling', default='auto',
+                      choices=['auto', 'fused', 'host'],
+                      help="'fused': on-device in-jit minibatch gather; "
+                           "'host': background-thread numpy sampler "
+                           "(robust fallback / stores larger than HBM)")
   parser.add_argument('--platform', default=None, choices=[None, 'cpu', 'tpu'],
                       help='force a JAX platform (default: environment '
                            'default, i.e. the TPU when one is attached)')
@@ -119,7 +124,8 @@ def main():
   print(f'devices: {jax.devices()}')
   trainer = Trainer.from_experiment(model_cfg, train_cfg, datasource,
                                     exp_dir=args.exp_dir,
-                                    use_mesh=not args.no_mesh)
+                                    use_mesh=not args.no_mesh,
+                                    sampling=args.sampling)
 
   def log_fn(step, data):
     stats = data['stats']
