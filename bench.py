@@ -27,7 +27,11 @@ def build(batch_size: int, naive: bool):
 
   cfg = config_lib.nerf_ds()  # full shipped architecture, 64 + 64 samples
   if naive:
-    cfg = dataclasses.replace(cfg, sigma_gradient_mode='naive')
+    # Reference execution pattern: per-use warp re-evaluation AND
+    # materialised concat->Dense inputs (the reference's op graph), no
+    # framework-side execution optimisations.
+    cfg = dataclasses.replace(cfg, sigma_gradient_mode='naive',
+                              concat_dense_inputs=True)
   model = NerfDSModel(config=cfg, num_warp_embeds=64, num_hyper_embeds=64,
                       near=0.2, far=2.0)
   train_cfg = config_lib.nerf_ds_train_config(batch_size=batch_size)

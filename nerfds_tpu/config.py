@@ -167,10 +167,19 @@ class ModelConfig:
   #           (models.py:1065-1073,1126,1276,1294-1300), for A/B
   #           benchmarking (136 ms).
   sigma_gradient_mode: str = 'vmap'
-  # Rematerialise the σ path in the outer backward (jax.checkpoint with
-  # matmul outputs saved): trades ~1 extra forward for dropping the large
-  # [R·S, width] activation residuals, raising the max per-chip ray batch.
+  # Materialise concat->Dense inputs instead of the split-weight matmul form
+  # (reproduces the reference's op graph; used by the 'naive' A/B baseline).
+  concat_dense_inputs: bool = False
+  # Rematerialise the σ path in the outer backward (jax.checkpoint): trades
+  # recompute for dropping the large [R·S, width] activation residuals. The
+  # step is DMA-bound (round-2 profile: async DMA engines ~97% busy vs MXU
+  # ~42%), so recomputing on the idle MXU instead of round-tripping saved
+  # residuals through HBM is a throughput win as well as a memory win.
   remat_sigma: bool = False
+  # Which residuals the σ-path checkpoint may still save:
+  #  'dots'    — matmul outputs with batch dims excluded (memory win only)
+  #  'nothing' — recompute everything from the [N,3] points (max DMA win)
+  remat_policy: str = 'nothing'
   # Speed mode (non-parity): stop-gradient ∇σ before it feeds the normal
   # supervision target. The reference differentiates through ∇σ
   # (second-order AD); stopping it makes the norm loss first-order — the

@@ -26,13 +26,15 @@ class HyperSheetMLP:
   width: int = 64
   skips: Tuple[int, ...] = (4,)
   use_residual: bool = False
+  concat_input: bool = False
 
   @property
   def mlp(self) -> mlp_lib.MLP:
     return mlp_lib.MLP(
         depth=self.depth, width=self.width, skips=self.skips,
         hidden_activation='relu', output_channels=self.output_channels,
-        output_init=jax.nn.initializers.normal(1e-5))
+        output_init=jax.nn.initializers.normal(1e-5),
+        concat_input=self.concat_input)
 
   def init(self, key, embed_dim: int):
     in_dim = math_ops.posenc_dim(3, self.min_deg, self.max_deg) + embed_dim
@@ -60,6 +62,7 @@ class MaskMLP:
   width: int = 128
   skips: Tuple[int, ...] = (4,)
   output_activation: Optional[str] = 'relu'
+  concat_input: bool = False
 
   @property
   def mlp(self) -> mlp_lib.MLP:
@@ -67,7 +70,8 @@ class MaskMLP:
         depth=self.depth, width=self.width, skips=self.skips,
         hidden_activation='relu', output_channels=self.output_channels,
         output_init=jax.nn.initializers.normal(1e-5),
-        output_activation=self.output_activation)
+        output_activation=self.output_activation,
+        concat_input=self.concat_input)
 
   def init(self, key, embed_dim: int):
     in_dim = math_ops.posenc_dim(3, self.min_deg, self.max_deg) + embed_dim

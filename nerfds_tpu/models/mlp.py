@@ -107,6 +107,10 @@ class MLP:
   use_bias: bool = True
   hidden_init: Initializer = glorot
   output_init: Optional[Initializer] = None
+  # Materialise concatenated inputs before the matmul instead of the
+  # split-weight form (reproduces the reference's op graph for A/B
+  # baselines; the split form is the TPU-fast default).
+  concat_input: bool = False
 
   def layer_in_dim(self, i: int, in_dim: int) -> int:
     d = in_dim if i == 0 else self.width
@@ -139,6 +143,8 @@ class MLP:
     output is cast back to f32."""
     act = get_activation(self.hidden_activation)
     input_parts = list(x) if isinstance(x, (list, tuple)) else [x]
+    if self.concat_input and len(input_parts) > 1:
+      input_parts = [jnp.concatenate(input_parts, axis=-1)]
     out_dtype = input_parts[0].dtype
     if dtype is not None:
       input_parts = [p.astype(dtype) for p in input_parts]
@@ -147,6 +153,8 @@ class MLP:
       layer_in = input_parts if i == 0 else [h]
       if i in self.skips:
         layer_in = layer_in + input_parts  # reference order: [x, inputs]
+        if self.concat_input and len(layer_in) > 1:
+          layer_in = [jnp.concatenate(layer_in, axis=-1)]
       h = act(dense_apply(params[f'hidden_{i}'], layer_in,
                           precision=precision, dtype=dtype))
     x = h if self.depth > 0 else input_parts
@@ -180,11 +188,13 @@ class NerfMLP:
   skips: Tuple[int, ...] = (4,)
   predict_norm: bool = False
   norm_dim: int = 3
+  concat_input: bool = False
 
   @property
   def trunk(self) -> MLP:
     return MLP(depth=self.trunk_depth, width=self.trunk_width,
-               skips=self.skips, hidden_activation=self.activation)
+               skips=self.skips, hidden_activation=self.activation,
+               concat_input=self.concat_input)
 
   @property
   def alpha_head_channels(self) -> int:
@@ -263,6 +273,7 @@ class NerfMLP:
       rgb_in.append(norm)
     rgb_mlp = MLP(depth=self.rgb_branch_depth, width=self.rgb_branch_width,
                   hidden_activation=self.activation,
-                  output_channels=self.rgb_channels)
+                  output_channels=self.rgb_channels,
+                  concat_input=self.concat_input)
     return rgb_mlp.apply(params['rgb'], rgb_in, precision=precision,
                          dtype=dtype)

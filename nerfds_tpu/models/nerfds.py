@@ -96,7 +96,8 @@ class NerfDSModel:
                       use_posenc_identity=False,
                       trunk_depth=cfg.se3_trunk_depth,
                       trunk_width=cfg.se3_trunk_width,
-                      skips=cfg.se3_skips, activation=cfg.activation)
+                      skips=cfg.se3_skips, activation=cfg.activation,
+                      concat_input=cfg.concat_dense_inputs)
     if cfg.warp_field_type == 'translation':
       return TranslationField(min_deg=cfg.warp_min_deg,
                               max_deg=cfg.warp_max_deg)
@@ -119,7 +120,8 @@ class NerfDSModel:
                          max_deg=cfg.hyper_sheet_max_deg,
                          depth=cfg.hyper_sheet_depth,
                          width=cfg.hyper_sheet_width,
-                         skips=cfg.hyper_sheet_skips)
+                         skips=cfg.hyper_sheet_skips,
+                         concat_input=cfg.concat_dense_inputs)
 
   @property
   def mask_mlp(self) -> MaskMLP:
@@ -127,7 +129,8 @@ class NerfDSModel:
     return MaskMLP(min_deg=cfg.mask_min_deg, max_deg=cfg.mask_max_deg,
                    depth=cfg.mask_mlp_depth, width=cfg.mask_mlp_width,
                    skips=cfg.mask_skips,
-                   output_activation=cfg.mask_output_activation)
+                   output_activation=cfg.mask_output_activation,
+                   concat_input=cfg.concat_dense_inputs)
 
   @property
   def nerf_mlp(self) -> NerfMLP:
@@ -137,7 +140,8 @@ class NerfDSModel:
                    rgb_branch_depth=cfg.nerf_rgb_branch_depth,
                    rgb_branch_width=cfg.nerf_rgb_branch_width,
                    activation=cfg.activation, skips=cfg.nerf_skips,
-                   predict_norm=cfg.predict_norm)
+                   predict_norm=cfg.predict_norm,
+                   concat_input=cfg.concat_dense_inputs)
 
   @property
   def warp_embed(self) -> GLOEmbed:
@@ -257,7 +261,8 @@ class NerfDSModel:
                          max_deg=cfg.hyper_sheet_max_deg,
                          depth=cfg.hyper_sheet_depth,
                          width=cfg.hyper_sheet_width,
-                         skips=cfg.hyper_sheet_skips)
+                         skips=cfg.hyper_sheet_skips,
+                         concat_input=cfg.concat_dense_inputs)
 
   @property
   def extra_rgb_condition_dim(self) -> int:
@@ -502,9 +507,11 @@ class NerfDSModel:
       return sigma_raw[..., 0], aux
 
     if cfg.remat_sigma:
-      return jax.checkpoint(
-          sigma_fn,
-          policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims)
+      policy = {
+          'dots': jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+          'nothing': jax.checkpoint_policies.nothing_saveable,
+      }[cfg.remat_policy]
+      return jax.checkpoint(sigma_fn, policy=policy)
     return sigma_fn
 
   # -- the per-level forward ------------------------------------------------

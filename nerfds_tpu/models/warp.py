@@ -39,12 +39,14 @@ class SE3Field:
   trunk_width: int = 128
   skips: Tuple[int, ...] = (4,)
   activation: str = 'relu'
+  concat_input: bool = False
 
   @property
   def trunk(self) -> mlp_lib.MLP:
     return mlp_lib.MLP(depth=self.trunk_depth, width=self.trunk_width,
                        skips=self.skips, hidden_activation=self.activation,
-                       hidden_init=jax.nn.initializers.xavier_uniform())
+                       hidden_init=jax.nn.initializers.xavier_uniform(),
+                       concat_input=self.concat_input)
 
   def init(self, key, metadata_dim: int):
     k_trunk, k_w, k_v = jax.random.split(key, 3)

@@ -346,3 +346,31 @@ def test_bf16_zones_restrict_compute_dtype():
     assert jnp.isfinite(out[level]['rgb']).all()
     np.testing.assert_allclose(out[level]['rgb'], out_f32[level]['rgb'],
                                atol=0.1)
+
+
+def test_concat_dense_inputs_matches_split_weight(nerf_ds_model):
+  """The reference op graph (materialised concat->Dense,
+  `concat_dense_inputs=True`, used by the 'naive' A/B baseline) computes the
+  same function as the split-weight form — outputs and gradients agree."""
+  import dataclasses
+  model, params = nerf_ds_model
+  rays = make_rays(num_rays=4)
+  extra = default_extra_params(model.config)
+  cfg = dataclasses.replace(model.config, concat_dense_inputs=True)
+  m_cat = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4)
+
+  def loss_fn(m):
+    def f(p):
+      out = m.render(p, rays, jax.random.PRNGKey(7), extra)
+      return jnp.mean(out['fine']['rgb'] ** 2), out['fine']['rgb']
+    return jax.value_and_grad(f, has_aux=True)
+
+  (l0, rgb0), g0 = loss_fn(model)(params)
+  (l1, rgb1), g1 = loss_fn(m_cat)(params)
+  np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(rgb0), np.asarray(rgb1),
+                             rtol=1e-5, atol=1e-6)
+  for a, b in zip(jax.tree_util.tree_leaves(g0),
+                  jax.tree_util.tree_leaves(g1)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=1e-6)
