@@ -152,6 +152,18 @@ class ModelConfig:
   # novel-time PSNR (BENCHMARKS.md); zoned bf16 keeps the precision-critical
   # geometry MLPs (warp/hyper) f32 while the wide trunk/rgb stacks run bf16.
   bf16_zones: Optional[Tuple[str, ...]] = None
+  # Narrow dtype for STORED MLP activations only ('bfloat16' | None):
+  # activations are round-tripped through bf16 between layers so the HBM
+  # buffers (forward activations + the backward residuals read from them)
+  # are half-width, while weights and matmul accumulation stay f32. The step
+  # is residual-DMA-bound (round-2 profile), so this attacks the measured
+  # bottleneck with far less quality risk than bf16 *compute*
+  # (see models/mlp.py:quantize_storage). Ignored in zones already running
+  # bf16 compute.
+  storage_dtype: Optional[str] = None
+  # Restrict storage quantisation to a subset of
+  # {'warp', 'hyper', 'mask', 'trunk', 'rgb'} (None = all zones).
+  storage_zones: Optional[Tuple[str, ...]] = None
   use_pallas_compositing: bool = False
   # How to compute the batched per-point ∇σ (measured on v5e, full config,
   # batch 2048, chained timing):
@@ -171,10 +183,11 @@ class ModelConfig:
   # (reproduces the reference's op graph; used by the 'naive' A/B baseline).
   concat_dense_inputs: bool = False
   # Rematerialise the σ path in the outer backward (jax.checkpoint): trades
-  # recompute for dropping the large [R·S, width] activation residuals. The
-  # step is DMA-bound (round-2 profile: async DMA engines ~97% busy vs MXU
-  # ~42%), so recomputing on the idle MXU instead of round-tripping saved
-  # residuals through HBM is a throughput win as well as a memory win.
+  # recompute for dropping the large [R·S, width] activation residuals. This
+  # is a MEMORY win (fits batch 4096+ where the default OOMs) that currently
+  # LOSES throughput — measured round 2 (BENCHMARKS.md): 141.7 ('dots') and
+  # 126.2 ms/step ('nothing') vs 103.2 baseline, because the recompute also
+  # round-trips HBM. Enable only to fit larger batches.
   remat_sigma: bool = False
   # Which residuals the σ-path checkpoint may still save:
   #  'dots'    — matmul outputs with batch dims excluded (memory win only)
@@ -410,7 +423,7 @@ def to_json(cfg) -> str:
 def model_config_from_dict(d: Dict[str, Any]) -> ModelConfig:
   d = dict(d)
   for key in ('nerf_skips', 'se3_skips', 'hyper_sheet_skips', 'mask_skips',
-              'bf16_zones'):
+              'bf16_zones', 'storage_zones'):
     if key in d and d[key] is not None:
       d[key] = tuple(d[key])
   return ModelConfig(**d)

@@ -132,11 +132,15 @@ class HostRayIterator:
 
   def close(self):
     self._stop.set()
-    try:
-      while True:
-        self._queue.get_nowait()
-    except queue_lib.Empty:
-      pass
+    # Drain so a worker blocked on a full queue observes the stop flag, then
+    # join it so no background thread outlives the iterator.
+    while self._thread.is_alive():
+      try:
+        while True:
+          self._queue.get_nowait()
+      except queue_lib.Empty:
+        pass
+      self._thread.join(timeout=0.5)
 
 
 class DataSource(abc.ABC):

@@ -41,12 +41,12 @@ class HyperSheetMLP:
     return {'mlp': self.mlp.init(key, in_dim)}
 
   def apply(self, params, points, embed, alpha=None, precision=None,
-            dtype=None):
+            dtype=None, storage_dtype=None):
     points_feat = math_ops.posenc(points, self.min_deg, self.max_deg,
                                   use_identity=False, alpha=alpha)
     inputs = [points_feat, embed]  # virtual concat (split-weight)
     out = self.mlp.apply(params['mlp'], inputs, precision=precision,
-                         dtype=dtype)
+                         dtype=dtype, storage_dtype=storage_dtype)
     if self.use_residual:
       out = out + embed
     return out
@@ -78,7 +78,7 @@ class MaskMLP:
     return {'mlp': self.mlp.init(key, in_dim)}
 
   def apply(self, params, points, embed, alpha=None, use_embed=True,
-            precision=None, dtype=None):
+            precision=None, dtype=None, storage_dtype=None):
     points_feat = math_ops.posenc(points, self.min_deg, self.max_deg,
                                   use_identity=False, alpha=alpha)
     if use_embed:
@@ -86,4 +86,4 @@ class MaskMLP:
     else:
       inputs = points_feat
     return self.mlp.apply(params['mlp'], inputs, precision=precision,
-                          dtype=dtype)
+                          dtype=dtype, storage_dtype=storage_dtype)

@@ -54,6 +54,34 @@ def dense_init(key, in_dim: int, out_dim: int,
   return params
 
 
+def quantize_storage(x, storage_dtype):
+  """Round-trips ``x`` through a narrower storage dtype (bf16).
+
+  The training step is HBM-bandwidth-bound (round-2 profile: DMA engines
+  ~97% busy; the largest buffers are the [R·S, width] layer activations and
+  their backward residuals). Writing activations through
+  ``astype(bf16).astype(f32)`` makes the buffer that crosses XLA fusion
+  boundaries bf16 — the converts fuse into producer/consumer — halving that
+  traffic, while weights and matmul accumulation stay f32.
+
+  Unlike bf16 *compute* (``compute_dtype='bfloat16'``, −7 dB novel-time
+  PSNR) this only quantises the stored value; and unlike a custom-VJP
+  "save-as-bf16" it is plain ops, so the gradient is the exact gradient of
+  the (quantised) forward and second-order AD — which the σ-gradient
+  supervision requires — works unchanged.
+  """
+  if storage_dtype is None or x.dtype == storage_dtype:
+    return x
+  # The optimization_barrier is load-bearing: XLA's algebraic simplifier
+  # (xla_allow_excess_precision, on by default) folds a bare
+  # convert(convert(x, bf16), f32) pair back to x, silently undoing the
+  # quantisation (verified: under jit the round-trip is a no-op without the
+  # barrier). The barrier pins the bf16 value as a real materialisation
+  # point, so the buffer crossing the fusion boundary is bf16.
+  narrow = jax.lax.optimization_barrier(x.astype(storage_dtype))
+  return narrow.astype(x.dtype)
+
+
 def dense_apply(params, x, precision=None, dtype=None):
   """Dense layer; ``x`` may be a list of feature blocks.
 
@@ -132,7 +160,8 @@ class MLP:
           kernel_init=self.output_init or glorot, use_bias=self.use_bias)
     return params
 
-  def apply(self, params, x, precision=None, dtype=None):
+  def apply(self, params, x, precision=None, dtype=None,
+            storage_dtype=None):
     """``x``: input array or a list of feature blocks (their virtual concat
     is the input — see `dense_apply`; skip layers re-feed the blocks without
     materialising the concat either).
@@ -140,7 +169,11 @@ class MLP:
     dtype: compute dtype for the dense stack (e.g. bf16). Inputs are cast
     once at entry, activations stay in that dtype between layers (halving
     the HBM traffic of layer activations and backward residuals), and the
-    output is cast back to f32."""
+    output is cast back to f32.
+
+    storage_dtype: narrow dtype for the *stored* activations only (see
+    `quantize_storage`) — compute/weights stay in the compute dtype. A no-op
+    when `dtype` is already that narrow."""
     act = get_activation(self.hidden_activation)
     input_parts = list(x) if isinstance(x, (list, tuple)) else [x]
     if self.concat_input and len(input_parts) > 1:
@@ -148,6 +181,8 @@ class MLP:
     out_dtype = input_parts[0].dtype
     if dtype is not None:
       input_parts = [p.astype(dtype) for p in input_parts]
+    elif storage_dtype is not None:
+      input_parts = [quantize_storage(p, storage_dtype) for p in input_parts]
     h = None
     for i in range(self.depth):
       layer_in = input_parts if i == 0 else [h]
@@ -157,6 +192,8 @@ class MLP:
           layer_in = [jnp.concatenate(layer_in, axis=-1)]
       h = act(dense_apply(params[f'hidden_{i}'], layer_in,
                           precision=precision, dtype=dtype))
+      if dtype is None:
+        h = quantize_storage(h, storage_dtype)
     x = h if self.depth > 0 else input_parts
     if self.output_channels > 0:
       x = dense_apply(params['logit'], x, precision=precision, dtype=dtype)
@@ -223,14 +260,17 @@ class NerfMLP:
     params['rgb'] = rgb_mlp.init(k_rgb, rgb_in)
     return params
 
-  def query_bottleneck(self, params, x, precision=None, dtype=None):
+  def query_bottleneck(self, params, x, precision=None, dtype=None,
+                       storage_dtype=None):
     trunk_out = self.trunk.apply(params['trunk'], x, precision=precision,
-                                 dtype=dtype)
+                                 dtype=dtype, storage_dtype=storage_dtype)
     if 'bottleneck' in params:
       bottleneck = dense_apply(params['bottleneck'], trunk_out,
                                precision=precision, dtype=dtype)
       if dtype is not None:
         bottleneck = bottleneck.astype(trunk_out.dtype)
+      elif storage_dtype is not None:
+        bottleneck = quantize_storage(bottleneck, storage_dtype)
     else:
       bottleneck = trunk_out
     return trunk_out, bottleneck
@@ -239,6 +279,9 @@ class NerfMLP:
                   precision=None, dtype=None):
     if alpha_condition is not None:
       alpha_in = [bottleneck, alpha_condition]
+      if self.concat_input:
+        # Reference op graph materialises the concat (modules.py:272-277).
+        alpha_in = jnp.concatenate(alpha_in, axis=-1)
     else:
       alpha_in = trunk_out
     out = dense_apply(params['alpha']['logit'], alpha_in, precision=precision,
@@ -252,7 +295,7 @@ class NerfMLP:
 
   def query_rgb(self, params, trunk_out, bottleneck, rgb_condition=None,
                 extra_rgb_condition=None, screw_condition=None, norm=None,
-                precision=None, dtype=None):
+                precision=None, dtype=None, storage_dtype=None):
     """Concat order matches reference query_rgb (modules.py:288-313):
     [bottleneck, rgb_condition], extra, screw, norm."""
     def extend(acc, cond):
@@ -276,4 +319,4 @@ class NerfMLP:
                   output_channels=self.rgb_channels,
                   concat_input=self.concat_input)
     return rgb_mlp.apply(params['rgb'], rgb_in, precision=precision,
-                         dtype=dtype)
+                         dtype=dtype, storage_dtype=storage_dtype)

@@ -88,6 +88,20 @@ class NerfDSModel:
       return self.cdtype
     return None
 
+  def sdtype_for(self, zone: str):
+    """Per-subnetwork activation STORAGE dtype (mlp.quantize_storage).
+
+    Only meaningful for zones computing in f32 — a zone already running
+    bf16 compute stores bf16 activations anyway."""
+    if self.config.storage_dtype != 'bfloat16':
+      return None
+    if self.cdtype_for(zone) is not None:
+      return None
+    zones = self.config.storage_zones
+    if zones is None or zone in zones:
+      return jnp.bfloat16
+    return None
+
   @property
   def warp_field(self):
     cfg = self.config
@@ -100,7 +114,8 @@ class NerfDSModel:
                       concat_input=cfg.concat_dense_inputs)
     if cfg.warp_field_type == 'translation':
       return TranslationField(min_deg=cfg.warp_min_deg,
-                              max_deg=cfg.warp_max_deg)
+                              max_deg=cfg.warp_max_deg,
+                              concat_input=cfg.concat_dense_inputs)
     raise ValueError(f'Unknown warp field type {cfg.warp_field_type!r}')
 
   @property
@@ -406,7 +421,8 @@ class NerfDSModel:
       warp_embed = jnp.concatenate([warp_embed, mask], axis=-1)
     return self.warp_field.warp(params['warp_field'], points, warp_embed,
                                 extra_params['warp_alpha'], self.precision,
-                                self.cdtype_for('warp'))
+                                self.cdtype_for('warp'),
+                                self.sdtype_for('warp'))
 
   # -- the batched σ path ---------------------------------------------------
 
@@ -433,12 +449,14 @@ class NerfDSModel:
           screw = self.warp_field.screw(params['warp_field'], p,
                                         warp_in_embed,
                                         extra_params['warp_alpha'], prec,
-                                        self.cdtype_for('warp'))
+                                        self.cdtype_for('warp'),
+                                        self.sdtype_for('warp'))
           warped_spatial = rigid.transform_point(screw, p)
         else:
           warped_spatial = self.warp_field.warp(
               params['warp_field'], p, warp_in_embed,
-              extra_params['warp_alpha'], prec)
+              extra_params['warp_alpha'], prec,
+              storage_dtype=self.sdtype_for('warp'))
       else:
         warped_spatial = p
       hyper = None
@@ -448,7 +466,8 @@ class NerfDSModel:
         hyper = self.hyper_sheet.apply(
             params['hyper_sheet'], p, hyper_in_embed,
             alpha=extra_params['hyper_sheet_alpha'], precision=prec,
-            dtype=self.cdtype_for('hyper'))
+            dtype=self.cdtype_for('hyper'),
+            storage_dtype=self.sdtype_for('hyper'))
       elif cfg.hyper_slice_method == 'axis_aligned_plane':
         hyper = hyper_embed
       if hyper is not None and cfg.use_hyper_for_sigma:
@@ -496,7 +515,8 @@ class NerfDSModel:
       feat, aux = feat_fn(p)
       trunk_out, bottleneck = self.nerf_mlp.query_bottleneck(
           params['nerf'][level], feat, precision=prec,
-          dtype=self.cdtype_for('trunk'))
+          dtype=self.cdtype_for('trunk'),
+          storage_dtype=self.sdtype_for('trunk'))
       sigma_raw, norm = self.nerf_mlp.query_sigma(
           params['nerf'][level], trunk_out, bottleneck, alpha_condition,
           precision=prec, dtype=self.cdtype_for('trunk'))
@@ -507,11 +527,15 @@ class NerfDSModel:
       return sigma_raw[..., 0], aux
 
     if cfg.remat_sigma:
-      policy = {
+      policies = {
           'dots': jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
           'nothing': jax.checkpoint_policies.nothing_saveable,
-      }[cfg.remat_policy]
-      return jax.checkpoint(sigma_fn, policy=policy)
+      }
+      if cfg.remat_policy not in policies:
+        raise ValueError(
+            f'remat_policy={cfg.remat_policy!r} is not supported; '
+            f"expected one of {sorted(policies)}")
+      return jax.checkpoint(sigma_fn, policy=policies[cfg.remat_policy])
     return sigma_fn
 
   # -- the per-level forward ------------------------------------------------
@@ -593,7 +617,8 @@ class NerfDSModel:
       predicted_mask = self.mask_mlp.apply(
           params['mask_mlp'], pts, mask_embed,
           alpha=extra_params['warp_alpha'], use_embed=cfg.use_mask_embed,
-          precision=prec, dtype=self.cdtype_for('mask'))
+          precision=prec, dtype=self.cdtype_for('mask'),
+          storage_dtype=self.sdtype_for('mask'))
       out['predicted_mask'] = predicted_mask.reshape(
           num_rays, num_samples, 1)
       if cfg.clamp_predicted_mask:
@@ -743,7 +768,8 @@ class NerfDSModel:
               alpha=extra_params['hyper_alpha']))
         t_out, bneck = self.nerf_mlp.query_bottleneck(
             params['nerf'][level], feat, precision=prec,
-            dtype=self.cdtype_for('trunk'))
+            dtype=self.cdtype_for('trunk'),
+            storage_dtype=self.sdtype_for('trunk'))
         s_raw, _ = self.nerf_mlp.query_sigma(
             params['nerf'][level], t_out, bneck, None, precision=prec,
             dtype=self.cdtype_for('trunk'))
@@ -895,7 +921,8 @@ class NerfDSModel:
     rgb_raw = self.nerf_mlp.query_rgb(
         params['nerf'][level], aux['trunk_out'], aux['bottleneck'],
         rgb_condition, extra_rgb_condition, screw_condition, norm_input_feat,
-        precision=prec, dtype=self.cdtype_for('rgb'))
+        precision=prec, dtype=self.cdtype_for('rgb'),
+        storage_dtype=self.sdtype_for('rgb'))
     rgb = jax.nn.sigmoid(rgb_raw).reshape(num_rays, num_samples, 3)
     sigma_noised = rendering.noise_regularize_sigma(
         key, sigma_raw.reshape(num_rays, num_samples), cfg.noise_std,

@@ -65,13 +65,15 @@ class SE3Field:
     }
 
   def screw(self, params, points, metadata_embed, warp_alpha=None,
-            precision=None, dtype=None) -> rigid.Screw:
+            precision=None, dtype=None,
+            storage_dtype=None) -> rigid.Screw:
     """Evaluate the field once: per-point screw motion. points: [N, 3]."""
     points_embed = math_ops.posenc(points, self.min_deg, self.max_deg,
                                    self.use_posenc_identity, warp_alpha)
     inputs = [points_embed, metadata_embed]  # virtual concat (split-weight)
     trunk_out = self.trunk.apply(params['trunk'], inputs,
-                                 precision=precision, dtype=dtype)
+                                 precision=precision, dtype=dtype,
+                                 storage_dtype=storage_dtype)
     w = mlp_lib.dense_apply(params['w'], trunk_out, precision=precision,
                             dtype=dtype)
     v = mlp_lib.dense_apply(params['v'], trunk_out, precision=precision,
@@ -81,10 +83,10 @@ class SE3Field:
                                 v.astype(jnp.float32))
 
   def warp(self, params, points, metadata_embed, warp_alpha=None,
-           precision=None, dtype=None):
+           precision=None, dtype=None, storage_dtype=None):
     """Point warp x -> exp(θS) x (reference SE3Field.warp default mode)."""
     screw = self.screw(params, points, metadata_embed, warp_alpha, precision,
-                       dtype)
+                       dtype, storage_dtype)
     return rigid.transform_point(screw, points)
 
   def warp_jacobian(self, params, points, metadata_embed, warp_alpha=None):
@@ -104,13 +106,15 @@ class TranslationField:
   width: int = 128
   skips: Tuple[int, ...] = (4,)
   activation: str = 'relu'
+  concat_input: bool = False
 
   @property
   def mlp(self) -> mlp_lib.MLP:
     return mlp_lib.MLP(
         depth=self.depth, width=self.width, skips=self.skips,
         hidden_activation=self.activation, output_channels=3,
-        output_init=jax.nn.initializers.uniform(scale=1e-4))
+        output_init=jax.nn.initializers.uniform(scale=1e-4),
+        concat_input=self.concat_input)
 
   def init(self, key, metadata_dim: int):
     in_dim = math_ops.posenc_dim(3, self.min_deg, self.max_deg,
@@ -118,12 +122,13 @@ class TranslationField:
     return {'mlp': self.mlp.init(key, in_dim)}
 
   def warp(self, params, points, metadata_embed, warp_alpha=None,
-           precision=None):
+           precision=None, dtype=None):
     points_embed = math_ops.posenc(points, self.min_deg, self.max_deg,
                                    self.use_posenc_identity, warp_alpha)
     inputs = [points_embed, metadata_embed]  # virtual concat (split-weight)
-    translation = self.mlp.apply(params['mlp'], inputs, precision=precision)
-    return points + translation
+    translation = self.mlp.apply(params['mlp'], inputs, precision=precision,
+                                 dtype=dtype)
+    return points + translation.astype(jnp.float32)
 
   def warp_jacobian(self, params, points, metadata_embed, warp_alpha=None):
     return rigid.batched_jacobian(

@@ -85,6 +85,17 @@ def main():
       time.sleep(args.poll_secs)
       continue
     state, _ = ckpt.restore(template, step)
+    # Evaluate the annealing schedules at the CHECKPOINT step (like
+    # trainer.eval_psnr) instead of the fully-annealed defaults: a
+    # mid-training checkpoint must be rendered with the posenc windows it
+    # was trained with (reference eval.py evaluates schedules per step too).
+    from nerfds_tpu.models import default_extra_params
+    from nerfds_tpu.training.step import build_schedules, eval_schedules
+    scalars = eval_schedules(build_schedules(train_cfg), state.step)
+    extra_params = dict(default_extra_params(model_cfg))
+    for k in ('nerf_alpha', 'warp_alpha', 'hyper_alpha', 'hyper_sheet_alpha',
+              'norm_input_alpha'):
+      extra_params[k] = scalars[k]
     report = {}
     for split, ids, count in (
         ('val', datasource.val_ids, args.num_val_eval),
@@ -100,10 +111,8 @@ def main():
         rays['metadata'] = {k: v.reshape(-1, v.shape[-1])[:1]
                             for k, v in item['metadata'].items()}
         from nerfds_tpu.evaluation.render import render_image
-        from nerfds_tpu.models import default_extra_params
         out = render_image(trainer.model, state.params, rays,
-                           jax.random.PRNGKey(0),
-                           default_extra_params(model_cfg),
+                           jax.random.PRNGKey(0), extra_params,
                            chunk=args.chunk, mesh=trainer.mesh)
         per_item[item_id] = metrics_lib.compute_all(
             out['rgb'], item['rgb'], lpips)

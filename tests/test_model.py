@@ -374,3 +374,37 @@ def test_concat_dense_inputs_matches_split_weight(nerf_ds_model):
                   jax.tree_util.tree_leaves(g1)):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_concat_dense_inputs_matches_split_weight_with_skips():
+  """Same equivalence with skip layers enabled: the skip-layer re-concat
+  (mlp.py input_parts re-feed) is the main concat site in the reference
+  (trunk skip@4, modules.py:64-66) — cover its split-weight form too."""
+  import dataclasses
+  cfg = small(config_lib.nerf_ds, nerf_trunk_depth=3, nerf_skips=(1,),
+              se3_trunk_depth=3, se3_skips=(2,), hyper_sheet_depth=3,
+              hyper_sheet_skips=(1,), mask_mlp_depth=3, mask_skips=(2,))
+  model = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4,
+                      near=0.2, far=2.0)
+  params = model.init(jax.random.PRNGKey(0))
+  rays = make_rays(num_rays=4)
+  extra = default_extra_params(cfg)
+  m_cat = NerfDSModel(
+      config=dataclasses.replace(cfg, concat_dense_inputs=True),
+      num_warp_embeds=4, num_hyper_embeds=4, near=0.2, far=2.0)
+
+  def loss_fn(m):
+    def f(p):
+      out = m.render(p, rays, jax.random.PRNGKey(7), extra)
+      return jnp.mean(out['fine']['rgb'] ** 2), out['fine']['rgb']
+    return jax.value_and_grad(f, has_aux=True)
+
+  (l0, rgb0), g0 = loss_fn(model)(params)
+  (l1, rgb1), g1 = loss_fn(m_cat)(params)
+  np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(rgb0), np.asarray(rgb1),
+                             rtol=1e-5, atol=1e-6)
+  for a, b in zip(jax.tree_util.tree_leaves(g0),
+                  jax.tree_util.tree_leaves(g1)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=1e-6)
