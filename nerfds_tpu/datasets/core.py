@@ -69,9 +69,48 @@ class RayStore:
                rgb=d['rgb'], mask=d['mask'], metadata=d['metadata'])
 
   def device_put(self, sharding=None) -> 'RayStore':
-    """Moves the store to device HBM (optionally sharded over rays)."""
-    put = (lambda x: jax.device_put(jnp.asarray(x), sharding)
-           if sharding is not None else jnp.asarray(x))
+    """Moves the store to device HBM (optionally sharded over rays).
+
+    With a sharding the arrays are assembled through
+    ``jax.make_array_from_process_local_data``: single-process, the full
+    columns are the local data (identical placement to ``jax.device_put``,
+    but the same code path the multi-host case uses); multi-process, this
+    store must hold only THIS process's rows
+    (``DataSource.build_ray_store(process_local=True)``) and the global
+    array is assembled without any host ever materialising the full ray
+    set — the reference's per-process data responsibility
+    (``train.py:191-201``) upgraded to actually-sharded storage. Rows are
+    trimmed to the largest per-device count every process can supply
+    (uniform random sampling makes dropped remainder rays harmless).
+    """
+    if sharding is None:
+      return RayStore.from_dict(
+          jax.tree_util.tree_map(jnp.asarray, self.as_dict()))
+    if jax.process_count() == 1:
+      put = lambda x: jax.make_array_from_process_local_data(
+          sharding, np.asarray(x))
+      return RayStore.from_dict(
+          jax.tree_util.tree_map(put, self.as_dict()))
+    from jax.experimental import multihost_utils
+    n_dev_total = sharding.mesh.devices.size
+    n_dev_local = jax.local_device_count()
+    local_rows = self.num_rays
+    all_rows = multihost_utils.process_allgather(
+        jnp.asarray([local_rows // max(n_dev_local, 1)], jnp.int32))
+    per_dev = int(np.min(np.asarray(all_rows)))
+    if per_dev == 0:
+      raise ValueError(
+          f'process {jax.process_index()} holds {local_rows} rays for '
+          f'{n_dev_local} local devices; every process needs >= 1 row per '
+          'local device')
+    local_use = per_dev * n_dev_local
+    global_rows = per_dev * n_dev_total
+
+    def put(x):
+      x = np.asarray(x)[:local_use]
+      return jax.make_array_from_process_local_data(
+          sharding, x, (global_rows, *x.shape[1:]))
+
     return RayStore.from_dict(jax.tree_util.tree_map(put, self.as_dict()))
 
   def take(self, idx) -> 'RayStore':
@@ -255,8 +294,22 @@ class DataSource(abc.ABC):
     }
 
   def build_ray_store(self, item_ids: Sequence[str],
-                      max_threads: Optional[int] = None) -> RayStore:
-    """Loads all items in parallel and flattens to ray columns."""
+                      max_threads: Optional[int] = None,
+                      process_local: bool = False) -> RayStore:
+    """Loads all items in parallel and flattens to ray columns.
+
+    ``process_local=True`` under multi-process JAX: this process loads only
+    a contiguous chunk of ``item_ids`` (its share); pair with
+    ``RayStore.device_put(sharding)``, which assembles the global
+    device-sharded array from the per-process chunks. The global ray ORDER
+    then depends on the process count, which is irrelevant here: batches
+    are uniform random gathers (`sample_batch`), not sequential scans.
+    Single-process it is a no-op.
+    """
+    if process_local and jax.process_count() > 1:
+      from nerfds_tpu.parallel.distributed import local_shard_slice
+      start, stop = local_shard_slice(len(item_ids))
+      item_ids = item_ids[start:stop]
     with concurrent.futures.ThreadPoolExecutor(max_threads) as ex:
       items = list(ex.map(self.load_item, item_ids))
 

@@ -120,7 +120,10 @@ class Trainer:
                use_mesh=use_mesh, sampling=sampling)
 
   def build_store(self) -> RayStore:
-    store = self.datasource.build_ray_store(self.datasource.train_ids)
+    # Multi-process: each host loads only its contiguous item chunk; the
+    # sharded device_put below assembles the global array from the chunks.
+    store = self.datasource.build_ray_store(self.datasource.train_ids,
+                                            process_local=True)
     if self.sampling == 'host':
       return store  # stays in host RAM; HostRayIterator feeds the device
     sharding = (mesh_lib.batch_sharding(self.mesh)
