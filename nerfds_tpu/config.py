@@ -58,7 +58,7 @@ class ModelConfig:
 
   # Warp field.
   use_warp: bool = False
-  warp_field_type: str = 'se3'        # 'se3' | 'translation'
+  warp_field_type: str = 'se3'  # 'se3' | 'dual_quaternion' | 'translation'
   warp_embed_key: str = 'warp'
   warp_embed_dims: int = 8
   warp_min_deg: int = 0

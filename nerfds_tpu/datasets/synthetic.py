@@ -33,12 +33,29 @@ def _sphere_center(t: float) -> np.ndarray:
                   np.float32)
 
 
-def field(points: np.ndarray, t: float, static: bool = False):
-  """Analytic (density, color) field. points [..., 3] -> ([...], [..., 3])."""
+# Fixed directional light for the specular scene (unit vector).
+_LIGHT_DIR = np.array([0.577, -0.577, -0.577], np.float32)
+
+
+def field(points: np.ndarray, t: float, static: bool = False,
+          viewdirs: Optional[np.ndarray] = None, specular: bool = False):
+  """Analytic (density, color) field. points [..., 3] -> ([...], [..., 3]).
+
+  With ``specular=True`` and ``viewdirs`` ([..., 3], camera→point unit
+  vectors, broadcastable to points), the MOVING sphere gets a Blinn-Phong
+  highlight computed from its analytic outward normal — a *dynamic specular
+  surface*, the exact phenomenon NeRF-DS exists for (reference
+  README.md:1-12): the radiance depends on (normal, viewdir), and the
+  normal field moves with the warp. A model can only fit the moving
+  highlight by recovering normals in the observation frame, so
+  ``use_ref_radiance`` / predicted normals / back-facing losses become
+  load-bearing on this scene instead of gradient-flow-only.
+  """
   if static:
     t = 0.0
   center = _sphere_center(t)
-  d_sphere = np.linalg.norm(points - center, axis=-1)
+  offset = points - center
+  d_sphere = np.linalg.norm(offset, axis=-1)
   sigma_sphere = 40.0 * np.exp(-0.5 * (d_sphere / 0.12) ** 2)
   # A static dimmer blob off-axis gives the scene a persistent part.
   d_blob = np.linalg.norm(points - np.array([0.0, 0.0, 0.35]), axis=-1)
@@ -50,6 +67,19 @@ def field(points: np.ndarray, t: float, static: bool = False):
       np.sin(4.0 * points[..., 1]),
       np.cos(4.0 * points[..., 2] - 2 * np.pi * t),
   ], axis=-1)
+  if specular and viewdirs is not None:
+    # Outward analytic normal of the moving sphere (= normalize(-∇σ_sphere)).
+    normal = offset / np.maximum(d_sphere, 1e-8)[..., None]
+    half = _LIGHT_DIR[None] - viewdirs          # L + (−viewdir)
+    half = half / np.maximum(
+        np.linalg.norm(half, axis=-1, keepdims=True), 1e-8)
+    n_dot_h = np.maximum((normal * half).sum(-1), 0.0)
+    highlight = 1.0 * n_dot_h ** 25
+    # Keep the diffuse term bright enough that the all-black-fog local
+    # minimum stays unattractive (a 0.35x dim measurably collapsed
+    # training), while the moving highlight remains the dominant
+    # view-dependent signal on the sphere.
+    color_sphere = color_sphere * 0.6 + highlight[..., None]
   color_blob = np.broadcast_to(np.array([0.9, 0.6, 0.2], np.float32),
                                color_sphere.shape)
   w = (sigma_sphere / np.maximum(sigma, 1e-8))[..., None]
@@ -58,7 +88,8 @@ def field(points: np.ndarray, t: float, static: bool = False):
 
 
 def _render_image(camera: Camera, t: float, near: float, far: float,
-                  num_samples: int = 192, static: bool = False):
+                  num_samples: int = 192, static: bool = False,
+                  specular: bool = False):
   """Ground-truth ray march of the analytic field. Returns (rgb, mask)."""
   rays = camera_to_rays(camera)
   origins = rays['origins'].reshape(-1, 3)
@@ -73,7 +104,9 @@ def _render_image(camera: Camera, t: float, near: float, far: float,
     o = origins[start:start + chunk]
     d = directions[start:start + chunk]
     pts = o[:, None, :] + z[None, :, None] * d[:, None, :]
-    sigma, color = field(pts, t, static=static)
+    view = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+    sigma, color = field(pts, t, static=static,
+                         viewdirs=view[:, None, :], specular=specular)
     center = _sphere_center(0.0 if static else t)
     moving = (np.linalg.norm(pts - center, axis=-1) < 0.3).astype(np.float32)
     dists = np.diff(z, append=z[-1] + (far - near)).astype(np.float32)
@@ -111,7 +144,8 @@ class SyntheticDataSource(DataSource):
   FAR = 2.2
 
   def __init__(self, num_frames: int = 8, image_size: int = 64,
-               static: bool = False, gt_samples: int = 192, **kwargs):
+               static: bool = False, gt_samples: int = 192,
+               specular: bool = False, **kwargs):
     ids = [f'{i:04d}' for i in range(num_frames)]
     train_ids = [i for k, i in enumerate(ids) if k % 4 != 3]
     val_ids = [i for k, i in enumerate(ids) if k % 4 == 3]
@@ -121,6 +155,7 @@ class SyntheticDataSource(DataSource):
     self.image_size = image_size
     self.static = static
     self.gt_samples = gt_samples
+    self.specular = specular
     self._cache: Dict[str, tuple] = {}
 
   @property
@@ -139,7 +174,7 @@ class SyntheticDataSource(DataSource):
       camera = self.load_camera(item_id)
       rgb, mask = _render_image(camera, self._time(item_id), self.NEAR,
                                 self.FAR, num_samples=self.gt_samples,
-                                static=self.static)
+                                static=self.static, specular=self.specular)
       self._cache[item_id] = (rgb, mask)
     return self._cache[item_id]
 

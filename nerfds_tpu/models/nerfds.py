@@ -43,7 +43,8 @@ from nerfds_tpu.models.embeddings import GLOEmbed
 from nerfds_tpu.models.hyper import HyperSheetMLP, MaskMLP
 from nerfds_tpu.models.mlp import NerfMLP, get_activation
 from nerfds_tpu.models.bones import BoneSE3Field
-from nerfds_tpu.models.warp import SE3Field, TranslationField
+from nerfds_tpu.models.warp import (DualQuaternionField, SE3Field,
+                                    TranslationField)
 from nerfds_tpu.ops import math as math_ops
 from nerfds_tpu.ops import rendering, rigid, sampling
 
@@ -112,6 +113,13 @@ class NerfDSModel:
                       trunk_width=cfg.se3_trunk_width,
                       skips=cfg.se3_skips, activation=cfg.activation,
                       concat_input=cfg.concat_dense_inputs)
+    if cfg.warp_field_type == 'dual_quaternion':
+      return DualQuaternionField(
+          min_deg=cfg.warp_min_deg, max_deg=cfg.warp_max_deg,
+          use_posenc_identity=False,
+          trunk_depth=cfg.se3_trunk_depth, trunk_width=cfg.se3_trunk_width,
+          skips=cfg.se3_skips, activation=cfg.activation,
+          concat_input=cfg.concat_dense_inputs)
     if cfg.warp_field_type == 'translation':
       return TranslationField(min_deg=cfg.warp_min_deg,
                               max_deg=cfg.warp_max_deg,
@@ -445,12 +453,15 @@ class NerfDSModel:
         moving_mask = bone_out['moving_mask']
         bone_weights = bone_out['bone_weights']
       elif use_warp and cfg.use_warp:
-        if cfg.warp_field_type == 'se3':
-          screw = self.warp_field.screw(params['warp_field'], p,
-                                        warp_in_embed,
-                                        extra_params['warp_alpha'], prec,
-                                        self.cdtype_for('warp'),
-                                        self.sdtype_for('warp'))
+        if cfg.warp_field_type in ('se3', 'dual_quaternion'):
+          # Both fields expose motion() -> a rigid-motion object the
+          # rigid.* appliers accept (Screw or DualQuatMotion) — evaluated
+          # ONCE and shared by every downstream rotation/translation use.
+          screw = self.warp_field.motion(params['warp_field'], p,
+                                         warp_in_embed,
+                                         extra_params['warp_alpha'], prec,
+                                         self.cdtype_for('warp'),
+                                         self.sdtype_for('warp'))
           warped_spatial = rigid.transform_point(screw, p)
         else:
           warped_spatial = self.warp_field.warp(
@@ -782,9 +793,10 @@ class NerfDSModel:
     # (models.py:1126, :1276, :1294-1300), instead of reusing `screw`.
     def fresh_screw():
       if cfg.sigma_gradient_mode == 'naive' and use_warp and screw is not None:
-        return self.warp_field.screw(params['warp_field'], pts, warp_in_embed,
-                                     extra_params['warp_alpha'], prec,
-                                     self.cdtype_for('warp'))
+        return self.warp_field.motion(params['warp_field'], pts,
+                                      warp_in_embed,
+                                      extra_params['warp_alpha'], prec,
+                                      self.cdtype_for('warp'))
       return screw
 
     if return_warp_jacobian and use_warp:

@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from nerfds_tpu.models import mlp as mlp_lib
+from nerfds_tpu.ops import dual_quaternion as dq_lib
 from nerfds_tpu.ops import math as math_ops
+from nerfds_tpu.ops import quaternion as quaternion_ops
 from nerfds_tpu.ops import rigid
 
 
@@ -92,6 +94,85 @@ class SE3Field:
   def warp_jacobian(self, params, points, metadata_embed, warp_alpha=None):
     """Batched ∂(warped)/∂x, [N, 3, 3] — replaces the reference's
     vmap(vmap(jacfwd)) (warping.py:276-279) with 3 batched JVPs."""
+    return rigid.batched_jacobian(
+        lambda p: self.warp(params, p, metadata_embed, warp_alpha), points)
+
+  # Parameterisation-agnostic alias: both SE3Field and DualQuaternionField
+  # expose `motion()` returning an object the `rigid.*` appliers accept.
+  motion = screw
+
+
+@dataclasses.dataclass(frozen=True)
+class DualQuaternionField:
+  """Dual-quaternion rigid deformation field.
+
+  Same trunk/head structure as :class:`SE3Field` but the heads output a
+  rotation quaternion increment (4ch) and a translation (3ch), combined
+  into a unit dual quaternion (``ops/dual_quaternion.py``, the batched
+  rebuild of the reference's dead ``dual_quaternion.py:29-129``). With the
+  reference's tiny-uniform head init the field starts ≈identity, like the
+  SE(3) field's θ≈1e-5 start. Selected via
+  ``warp_field_type='dual_quaternion'``.
+  """
+  min_deg: int = 0
+  max_deg: int = 8
+  use_posenc_identity: bool = False
+  trunk_depth: int = 6
+  trunk_width: int = 128
+  skips: Tuple[int, ...] = (4,)
+  activation: str = 'relu'
+  concat_input: bool = False
+
+  @property
+  def trunk(self) -> mlp_lib.MLP:
+    return mlp_lib.MLP(depth=self.trunk_depth, width=self.trunk_width,
+                       skips=self.skips, hidden_activation=self.activation,
+                       hidden_init=jax.nn.initializers.xavier_uniform(),
+                       concat_input=self.concat_input)
+
+  def init(self, key, metadata_dim: int):
+    k_trunk, k_q, k_t = jax.random.split(key, 3)
+    in_dim = math_ops.posenc_dim(3, self.min_deg, self.max_deg,
+                                 self.use_posenc_identity) + metadata_dim
+    return {
+        'trunk': self.trunk.init(k_trunk, in_dim),
+        'q': mlp_lib.dense_init(
+            k_q, self.trunk_width, 4,
+            kernel_init=jax.nn.initializers.uniform(scale=1e-4)),
+        't': mlp_lib.dense_init(
+            k_t, self.trunk_width, 3,
+            kernel_init=jax.nn.initializers.uniform(scale=1e-4)),
+    }
+
+  def motion(self, params, points, metadata_embed, warp_alpha=None,
+             precision=None, dtype=None,
+             storage_dtype=None) -> dq_lib.DualQuatMotion:
+    """Evaluate the field once: per-point unit dual quaternion."""
+    points_embed = math_ops.posenc(points, self.min_deg, self.max_deg,
+                                   self.use_posenc_identity, warp_alpha)
+    inputs = [points_embed, metadata_embed]
+    trunk_out = self.trunk.apply(params['trunk'], inputs,
+                                 precision=precision, dtype=dtype,
+                                 storage_dtype=storage_dtype)
+    q_raw = mlp_lib.dense_apply(params['q'], trunk_out, precision=precision,
+                                dtype=dtype).astype(jnp.float32)
+    t = mlp_lib.dense_apply(params['t'], trunk_out, precision=precision,
+                            dtype=dtype).astype(jnp.float32)
+    # Identity offset on the real part; normalize to a unit quaternion.
+    q = quaternion_ops.normalize(
+        q_raw + jnp.asarray([0., 0., 0., 1.], q_raw.dtype))
+    return dq_lib.DualQuatMotion(dq_lib.from_rotation_translation(q, t))
+
+  # The model treats `screw` and `motion` interchangeably.
+  screw = motion
+
+  def warp(self, params, points, metadata_embed, warp_alpha=None,
+           precision=None, dtype=None, storage_dtype=None):
+    motion = self.motion(params, points, metadata_embed, warp_alpha,
+                         precision, dtype, storage_dtype)
+    return motion.transform_point(points)
+
+  def warp_jacobian(self, params, points, metadata_embed, warp_alpha=None):
     return rigid.batched_jacobian(
         lambda p: self.warp(params, p, metadata_embed, warp_alpha), points)
 

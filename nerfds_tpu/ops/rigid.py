@@ -54,8 +54,15 @@ def _cross(a, b):
   return jnp.cross(a, b)
 
 
-def rotate(screw: Screw, x: jnp.ndarray) -> jnp.ndarray:
-  """Applies R = exp(θ[w]ₓ) to vectors x, Rodrigues form. x: [..., 3]."""
+def rotate(screw, x: jnp.ndarray) -> jnp.ndarray:
+  """Applies R = exp(θ[w]ₓ) to vectors x, Rodrigues form. x: [..., 3].
+
+  Accepts any motion object exposing ``.rotate`` (e.g.
+  ``dual_quaternion.DualQuatMotion``); the closed form below is the
+  :class:`Screw` fast path.
+  """
+  if not isinstance(screw, Screw):
+    return screw.rotate(x)
   theta = screw.theta[..., None]
   cos, sin = jnp.cos(theta), jnp.sin(theta)
   w = screw.w
@@ -63,8 +70,10 @@ def rotate(screw: Screw, x: jnp.ndarray) -> jnp.ndarray:
           + w * jnp.sum(w * x, axis=-1, keepdims=True) * (1.0 - cos))
 
 
-def rotate_inverse(screw: Screw, x: jnp.ndarray) -> jnp.ndarray:
+def rotate_inverse(screw, x: jnp.ndarray) -> jnp.ndarray:
   """Applies Rᵀ to vectors x (rotation by −θ about the same axis)."""
+  if not isinstance(screw, Screw):
+    return screw.rotate_inverse(x)
   theta = screw.theta[..., None]
   cos, sin = jnp.cos(theta), jnp.sin(theta)
   w = screw.w
@@ -72,8 +81,10 @@ def rotate_inverse(screw: Screw, x: jnp.ndarray) -> jnp.ndarray:
           + w * jnp.sum(w * x, axis=-1, keepdims=True) * (1.0 - cos))
 
 
-def translation(screw: Screw) -> jnp.ndarray:
+def translation(screw) -> jnp.ndarray:
   """p = (θI + (1−cosθ)[w]ₓ + (θ−sinθ)[w]ₓ²) v  (rigid_body.py:94-95)."""
+  if not isinstance(screw, Screw):
+    return screw.translation_vec()
   theta = screw.theta[..., None]
   cos, sin = jnp.cos(theta), jnp.sin(theta)
   w, v = screw.w, screw.v
@@ -82,8 +93,10 @@ def translation(screw: Screw) -> jnp.ndarray:
   return theta * v + (1.0 - cos) * wxv + (theta - sin) * wwv
 
 
-def transform_point(screw: Screw, x: jnp.ndarray) -> jnp.ndarray:
+def transform_point(screw, x: jnp.ndarray) -> jnp.ndarray:
   """Full SE(3) action R x + p (reference exp_se3 + homogeneous apply)."""
+  if not isinstance(screw, Screw):
+    return screw.transform_point(x)
   return rotate(screw, x) + translation(screw)
 
 

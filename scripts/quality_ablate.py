@@ -28,6 +28,9 @@ CASES = {
     'bf16_warp_hyper': {'compute_dtype': 'bfloat16',
                         'bf16_zones': ('warp', 'hyper')},
     'bf16_trunk': {'compute_dtype': 'bfloat16', 'bf16_zones': ('trunk',)},
+    'bf16_trunk_rgb': {'compute_dtype': 'bfloat16',
+                       'bf16_zones': ('trunk', 'rgb')},
+    'storage_bf16': {'storage_dtype': 'bfloat16'},
     'stop_target_norm': {'stop_target_norm_gradient': True},
 }
 
