@@ -75,6 +75,7 @@ def main():
 
   # Camera path: per-frame json cameras (vrig) or the train cameras.
   frames = []
+  debug_frames = []
   if args.camera_path == 'train':
     ids = datasource.train_ids[::args.interval]
     cameras = [datasource.load_camera(i) for i in ids]
@@ -87,7 +88,16 @@ def main():
     warp_ids = list(range(len(cameras)))
     masks = [None] * len(cameras)
 
-  extra = default_extra_params(model_cfg)
+  # Evaluate annealing schedules at the checkpoint step (same rule as
+  # scripts/eval.py): a mid-training checkpoint renders with the posenc
+  # windows it was trained with; at max_steps this equals the fully
+  # annealed defaults.
+  from nerfds_tpu.training.step import build_schedules, eval_schedules
+  scalars = eval_schedules(build_schedules(train_cfg), state.step)
+  extra = dict(default_extra_params(model_cfg))
+  for k in ('nerf_alpha', 'warp_alpha', 'hyper_alpha', 'hyper_sheet_alpha',
+            'norm_input_alpha'):
+    extra[k] = scalars[k]
   out_dir = Path(args.out) if args.out else exp_dir / f'renders_{step}'
   out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -114,6 +124,7 @@ def main():
         np.repeat(np.clip(np.asarray(out['acc']), 0, 1)[..., None], 3, -1),
     ], cols=3)
     frames.append(np.asarray(out['rgb']))
+    debug_frames.append(debug)
     if i == 0:
       import PIL.Image
       PIL.Image.fromarray(
@@ -122,7 +133,10 @@ def main():
     print(f'rendered frame {i + 1}/{len(cameras)}', flush=True)
 
   viz.save_video(out_dir / 'rgb.mp4', frames, fps=args.fps)
-  print(f'wrote {out_dir}/rgb.mp4 ({len(frames)} frames)')
+  # Full debug-grid video (rgb | depth | normals / Δx | mask | acc), the
+  # analog of the reference's 2x3 mp4 (/root/reference/render.py:198-277).
+  viz.save_video(out_dir / 'debug.mp4', debug_frames, fps=args.fps)
+  print(f'wrote {out_dir}/rgb.mp4 + debug.mp4 ({len(frames)} frames)')
 
 
 if __name__ == '__main__':
