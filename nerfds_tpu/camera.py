@@ -90,7 +90,8 @@ class Camera:
   @classmethod
   def from_json(cls, path) -> "Camera":
     """Loads the Nerfies camera JSON schema (camera.py:140-161)."""
-    with open(path, "r") as fp:
+    from nerfds_tpu.gpath import GPath
+    with GPath(path).open("r") as fp:
       camera_json = json.load(fp)
     if "tangential" in camera_json:
       camera_json["tangential_distortion"] = camera_json["tangential"]

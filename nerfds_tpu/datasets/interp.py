@@ -20,8 +20,8 @@ class InterpDataSource(NerfiesDataSource):
   def __init__(self, data_dir: str, interval: int = 4, **kwargs):
     # Build the split from the full sorted id list of the base dataset.
     import json
-    from pathlib import Path
-    with open(Path(data_dir) / 'dataset.json', 'r') as f:
+    from nerfds_tpu.gpath import GPath
+    with (GPath(data_dir) / 'dataset.json').open('r') as f:
       dataset_json = json.load(f)
     all_ids = sorted(str(i) for i in dataset_json.get(
         'ids', dataset_json['train_ids'] + dataset_json['val_ids']))

@@ -19,7 +19,9 @@ and downscaled by ``image_scale``.
 from __future__ import annotations
 
 import json
-from pathlib import Path
+from pathlib import Path, PurePath
+
+from nerfds_tpu.gpath import GPath
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -29,7 +31,7 @@ from nerfds_tpu.datasets.core import DataSource
 
 
 def load_scene_info(data_dir) -> Tuple[np.ndarray, float, float, float]:
-  with open(Path(data_dir) / 'scene.json', 'r') as f:
+  with (GPath(data_dir) / 'scene.json').open('r') as f:
     scene_json = json.load(f)
   return (np.array(scene_json['center']), scene_json['scale'],
           scene_json['near'], scene_json['far'])
@@ -37,14 +39,15 @@ def load_scene_info(data_dir) -> Tuple[np.ndarray, float, float, float]:
 
 def _load_image(path) -> np.ndarray:
   import cv2
-  raw = np.fromfile(str(path), dtype=np.uint8)
+  # read_bytes (not np.fromfile) so GCS-backed GPaths work transparently.
+  raw = np.frombuffer(GPath(path).read_bytes(), dtype=np.uint8)
   image = cv2.imdecode(raw, cv2.IMREAD_COLOR)[:, :, ::-1]  # BGR -> RGB
   return np.ascontiguousarray(image).astype(np.float32) / 255.0
 
 
 def _load_grayscale_image(path) -> np.ndarray:
   import cv2
-  raw = np.fromfile(str(path), dtype=np.uint8)
+  raw = np.frombuffer(GPath(path).read_bytes(), dtype=np.uint8)
   image = cv2.imdecode(raw, cv2.IMREAD_GRAYSCALE)
   return np.asarray(image).astype(np.float32) / 255.0
 
@@ -67,8 +70,8 @@ class NerfiesDataSource(DataSource):
 
   def __init__(self, data_dir: str, image_scale: int = 1,
                test_camera_trajectory: str = 'orbit-mild', **kwargs):
-    self.data_dir = Path(data_dir)
-    with open(self.data_dir / 'dataset.json', 'r') as f:
+    self.data_dir = GPath(data_dir)
+    with (self.data_dir / 'dataset.json').open('r') as f:
       dataset_json = json.load(f)
     train_ids = [str(i) for i in dataset_json['train_ids']]
     val_ids = [str(i) for i in dataset_json['val_ids']]
@@ -83,7 +86,7 @@ class NerfiesDataSource(DataSource):
     metadata_path = self.data_dir / 'metadata.json'
     self.metadata_dict = {}
     if metadata_path.exists():
-      with open(metadata_path, 'r') as f:
+      with metadata_path.open('r') as f:
         self.metadata_dict = json.load(f)
 
   @property
@@ -111,7 +114,7 @@ class NerfiesDataSource(DataSource):
     return 1.0 - mask
 
   def load_camera(self, item_id, scale_factor: float = 1.0) -> Camera:
-    if isinstance(item_id, Path):
+    if isinstance(item_id, PurePath):
       camera_path = item_id
     else:
       camera_path = self.camera_dir / f'{item_id}.json'
@@ -135,7 +138,8 @@ class NerfiesDataSource(DataSource):
     points_path = self.data_dir / 'points.npy'
     if not points_path.exists():
       return None
-    points = np.load(points_path)
+    import io
+    points = np.load(io.BytesIO(points_path.read_bytes()))
     points = ((points - self.scene_center) * self.scene_scale
               ).astype(np.float32)
     if shuffle:

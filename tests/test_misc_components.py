@@ -122,3 +122,23 @@ def test_fast_render_skips_sigma_gradient():
   np.testing.assert_allclose(np.asarray(out['fine']['rgb']),
                              np.asarray(out_full['fine']['rgb']),
                              atol=1e-6)
+
+
+def test_gpath_storage_transparent():
+  """GPath (reference gpath.py analog, SURVEY row 29): pathlib-compatible,
+  epath-backed when available so gs:// URIs resolve to remote backends."""
+  import pathlib
+  from nerfds_tpu.gpath import GPath, is_remote
+  p = GPath('/tmp') / 'x.json'
+  assert isinstance(p, pathlib.PurePath)
+  assert str(p) == '/tmp/x.json'
+  assert not is_remote(p)
+  try:
+    from etils import epath
+  except ImportError:
+    return
+  g = GPath('gs://bucket/scene')
+  assert is_remote(g)
+  assert str(g / 'dataset.json').endswith('bucket/scene/dataset.json')
+  # The data-layer loaders route through GPath, so a remote data_dir
+  # reaches the gcsfs backend rather than open()/np.fromfile.
