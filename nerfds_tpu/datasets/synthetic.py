@@ -89,8 +89,14 @@ def field(points: np.ndarray, t: float, static: bool = False,
 
 def _render_image(camera: Camera, t: float, near: float, far: float,
                   num_samples: int = 192, static: bool = False,
-                  specular: bool = False):
-  """Ground-truth ray march of the analytic field. Returns (rgb, mask)."""
+                  specular: bool = False, white_background: bool = False):
+  """Ground-truth ray march of the analytic field. Returns (rgb, mask).
+
+  ``white_background`` composites unfilled transmittance onto white (the
+  standard synthetic-NeRF convention; pair with the model's
+  ``use_white_background``). A black background makes the all-black opaque
+  fog a strong local minimum — observed to capture full production-schedule
+  runs on the specular scene."""
   rays = camera_to_rays(camera)
   origins = rays['origins'].reshape(-1, 3)
   directions = rays['directions'].reshape(-1, 3)
@@ -116,7 +122,10 @@ def _render_image(camera: Camera, t: float, near: float, far: float,
         np.ones_like(alpha[:, :1]),
         np.cumprod(1.0 - alpha[:, :-1] + 1e-10, axis=-1)], axis=-1)
     weights = alpha * accum
-    out_rgb[start:start + chunk] = (weights[..., None] * color).sum(axis=1)
+    rgb_chunk = (weights[..., None] * color).sum(axis=1)
+    if white_background:
+      rgb_chunk = rgb_chunk + (1.0 - weights.sum(axis=1))[..., None]
+    out_rgb[start:start + chunk] = rgb_chunk
     out_fg[start:start + chunk] = (weights * moving).sum(axis=1)
   rgb = out_rgb.reshape(h, w, 3).clip(0.0, 1.0)
   mask = (out_fg.reshape(h, w, 1) > 0.3).astype(np.float32)
@@ -145,7 +154,8 @@ class SyntheticDataSource(DataSource):
 
   def __init__(self, num_frames: int = 8, image_size: int = 64,
                static: bool = False, gt_samples: int = 192,
-               specular: bool = False, **kwargs):
+               specular: bool = False, white_background: bool = False,
+               **kwargs):
     ids = [f'{i:04d}' for i in range(num_frames)]
     train_ids = [i for k, i in enumerate(ids) if k % 4 != 3]
     val_ids = [i for k, i in enumerate(ids) if k % 4 == 3]
@@ -156,6 +166,7 @@ class SyntheticDataSource(DataSource):
     self.static = static
     self.gt_samples = gt_samples
     self.specular = specular
+    self.white_background = white_background
     self._cache: Dict[str, tuple] = {}
 
   @property
@@ -174,7 +185,8 @@ class SyntheticDataSource(DataSource):
       camera = self.load_camera(item_id)
       rgb, mask = _render_image(camera, self._time(item_id), self.NEAR,
                                 self.FAR, num_samples=self.gt_samples,
-                                static=self.static, specular=self.specular)
+                                static=self.static, specular=self.specular,
+                                white_background=self.white_background)
       self._cache[item_id] = (rgb, mask)
     return self._cache[item_id]
 

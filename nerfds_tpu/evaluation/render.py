@@ -19,10 +19,16 @@ from nerfds_tpu.models.nerfds import NerfDSModel
 from nerfds_tpu.parallel import mesh as mesh_lib
 
 
+@functools.lru_cache(maxsize=16)
 def make_render_fn(model: NerfDSModel, mesh=None, use_sample_at_infinity=None,
                    return_full: bool = True,
                    compute_sigma_gradient: bool = False):
   """Builds a jitted chunk renderer: (params, rays, key, extra) -> out.
+
+  lru-cached on (model, mesh, flags): jax.jit caches executables by
+  function identity, so returning a fresh closure per image would retrace
+  AND recompile per rendered image (measured: minutes per eval pass on the
+  production architecture). All arguments are hashable statics.
 
   ``compute_sigma_gradient=False`` (default) skips the per-point ∇σ during
   rendering — it only feeds the *training* normal-supervision target, while

@@ -97,6 +97,10 @@ class Trainer:
       self.metrics_writer = MetricWriter(self.exp_dir / 'summaries')
     else:
       self.metrics_writer = None
+    # Compiled-step caches (see train()): avoid a full retrace + XLA
+    # compile per train() segment when interleaving training with evals.
+    self._fused_step_cache = None
+    self._explicit_step_cache = None
 
   # -- setup ----------------------------------------------------------------
 
@@ -171,7 +175,10 @@ class Trainer:
       bg_host = (np.asarray(background_points)
                  if background_points is not None else None)
       bg_rng = np.random.RandomState(cfg.random_seed + 31)
-      explicit_step = make_train_step(self.model, cfg, donate=False)
+      if self._explicit_step_cache is None:
+        self._explicit_step_cache = make_train_step(self.model, cfg,
+                                                    donate=False)
+      explicit_step = self._explicit_step_cache
 
       def step_fn(state, key):
         batch = next(host_iter)
@@ -181,8 +188,18 @@ class Trainer:
           batch['background_points'] = jnp.asarray(bg_host[idx])
         return explicit_step(state, batch, key)
     else:
-      step_fn = make_fused_train_step(self.model, cfg, store,
-                                      background_points)
+      # Cache the compiled fused step across train() calls: callers that
+      # interleave training with evals (convergence curves, eval-every-N
+      # loops) would otherwise rebuild the closure each call, and a fresh
+      # function identity forces a full retrace + XLA compile (~minutes on
+      # the production architecture) per segment.
+      cache_key = (id(store), background_points is not None)
+      if self._fused_step_cache and self._fused_step_cache[0] == cache_key:
+        step_fn = self._fused_step_cache[1]
+      else:
+        step_fn = make_fused_train_step(self.model, cfg, store,
+                                        background_points)
+        self._fused_step_cache = (cache_key, step_fn)
 
     base_key = jax.random.PRNGKey(cfg.random_seed + 17)
     tracker = TimeTracker()

@@ -49,12 +49,18 @@ def main():
   from nerfds_tpu.training.step import build_schedules, eval_schedules
 
   steps = args.steps
+  # White background (scene + model): with a black background the opaque
+  # all-black fog is a strong local minimum that captured full
+  # production-schedule runs (train PSNR pinned at ~12 dB = the black
+  # image's PSNR); compositing onto white removes the attractor — the
+  # standard synthetic-NeRF convention.
   src = SyntheticDataSource(num_frames=args.frames,
                             image_size=args.image_size,
-                            gt_samples=192, specular=True)
-  over = {}
+                            gt_samples=192, specular=True,
+                            white_background=True)
+  over = {'use_white_background': True}
   if args.no_normals:
-    over = dict(predict_norm=False, use_predicted_norm=False)
+    over.update(predict_norm=False, use_predicted_norm=False)
   model_cfg = dataclasses.replace(config_lib.nerf_ds(), **over)
   # nerf_ds.gin schedules rescaled from 250k to `steps` (same proportions
   # as scripts/quality_ablate.py).
