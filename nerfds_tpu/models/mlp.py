@@ -252,8 +252,12 @@ class NerfMLP:
     alpha_mlp = MLP(depth=0, width=0,
                     output_channels=self.alpha_head_channels)
     params['alpha'] = alpha_mlp.init(k_alpha, alpha_in)
-    rgb_in = (self.trunk_width + rgb_cond_dim if has_condition
-              else self.trunk_width)
+    # rgb input = (bottleneck | trunk_out) ⊕ every rgb-side condition;
+    # extra conditions (e.g. hyper-c features) are consumed even without a
+    # bottleneck (reference query_rgb, modules.py:291-313), so the extra
+    # dims always count. bottleneck width == trunk width, so the formula
+    # holds in both branches.
+    rgb_in = self.trunk_width + rgb_cond_dim
     rgb_mlp = MLP(depth=self.rgb_branch_depth, width=self.rgb_branch_width,
                   hidden_activation=self.activation,
                   output_channels=self.rgb_channels)

@@ -316,8 +316,15 @@ class NerfDSModel:
 
   @property
   def has_condition(self) -> bool:
+    """Whether the NerfMLP gets a bottleneck + conditioned branches.
+
+    Mirrors the reference's live semantics (modules.py:215-216: bottleneck
+    params exist iff an alpha/rgb condition is actually passed): viewdirs
+    count only when they are fed to rgb, which ``use_hyper_c`` supplants
+    (render_samples viewdirs guard; reference models.py:396-406).
+    """
     cfg = self.config
-    return (cfg.use_viewdirs
+    return ((cfg.use_viewdirs and not cfg.use_hyper_c)
             or (cfg.use_nerf_embed
                 and (cfg.use_alpha_condition or cfg.use_rgb_condition)))
 
