@@ -17,6 +17,7 @@ Usage:
 """
 import argparse
 import dataclasses
+import functools
 import json
 import sys
 import time
@@ -118,6 +119,10 @@ def main():
     for k in ('nerf_alpha', 'warp_alpha', 'hyper_alpha',
               'hyper_sheet_alpha', 'norm_input_alpha'):
       extra[k] = scalars[k]
+    # Jitted: eager per-op dispatch over the tunneled backend is
+    # network-latency slow (environment gotcha in the verify skill).
+    render_chunk = jax.jit(functools.partial(
+        trainer.model.render, return_full=True, return_weights=True))
     coss = []
     for iid in src.train_ids[:4]:
       item = src.load_item(iid)
@@ -138,9 +143,7 @@ def main():
                     (min(2048, o.shape[0] - s0), v.shape[-1])))
                 for k, v in item['metadata'].items()},
         }
-        out = trainer.model.render(state.params, sub, jax.random.PRNGKey(0),
-                                   extra, return_full=True,
-                                   return_weights=True)
+        out = render_chunk(state.params, sub, jax.random.PRNGKey(0), extra)
         f = out['fine']
         w = np.asarray(f['weights'])
         tn = np.asarray(f['target_norm'])

@@ -5,50 +5,24 @@ dead ``flax.optim`` import the old code needs) and checks our L0 math
 against it value-for-value — including RNG-sensitive sampling with
 identical keys. Skipped wholesale if the reference tree is not mounted.
 """
-import pathlib
-import sys
-import types
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-REF = pathlib.Path('/root/reference')
+from ref_loader import load_reference, reference_available
 
-pytestmark = pytest.mark.skipif(not REF.exists(),
+pytestmark = pytest.mark.skipif(not reference_available(),
                                 reason='reference tree not mounted')
 
 
 @pytest.fixture(scope='module')
 def ref():
-  """Imports reference modules with compat shims, no code copied."""
-  import importlib.util
-
-  # Shim the flax 0.3 API surface model_utils.py imports but our parity
-  # targets never call.
-  if 'flax.optim' not in sys.modules:
-    optim_mod = types.ModuleType('flax.optim')
-    optim_mod.Optimizer = object
-    sys.modules['flax.optim'] = optim_mod
-  hypernerf_pkg = types.ModuleType('hypernerf')
-  hypernerf_pkg.__path__ = [str(REF / 'hypernerf')]
-  sys.modules.setdefault('hypernerf', hypernerf_pkg)
-
-  def load(name):
-    spec = importlib.util.spec_from_file_location(
-        f'hypernerf.{name}', REF / 'hypernerf' / f'{name}.py')
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules[f'hypernerf.{name}'] = mod
-    spec.loader.exec_module(mod)
-    return mod
-
-  out = types.SimpleNamespace()
-  out.rigid = load('rigid_body')
-  out.quaternion = load('quaternion')
-  out.utils = load('utils')
-  out.model_utils = load('model_utils')
-  return out
+  """Imports reference modules with compat shims (tests/ref_loader.py)."""
+  loaded = load_reference(names=('utils', 'model_utils', 'quaternion',
+                                 'rigid_body'))
+  loaded.rigid = loaded.rigid_body
+  return loaded
 
 
 def test_posenc_parity(ref):
