@@ -837,6 +837,14 @@ class NerfDSModel:
     norm_input_feat = None
     if norm_input is not None:
       norm_input = math_ops.normalize(norm_input)
+      if return_full:
+        # OBSERVATION-frame surface normal actually fed to the radiance
+        # branch (the canonical predicted_norm rotated back by R⁻¹) —
+        # the right quantity to validate against analytic scene normals
+        # (predicted_norm/target_norm live in the canonical frame, whose
+        # orientation is arbitrary: SE(3) fields realise translations via
+        # large-radius rotations).
+        out['norm_input'] = norm_input.reshape(num_rays, num_samples, 3)
       if cfg.norm_input_posenc:
         norm_input_feat = math_ops.posenc(
             norm_input, cfg.norm_input_min_deg, cfg.norm_input_max_deg,

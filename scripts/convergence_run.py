@@ -146,7 +146,12 @@ def main():
         out = render_chunk(state.params, sub, jax.random.PRNGKey(0), extra)
         f = out['fine']
         w = np.asarray(f['weights'])
-        tn = np.asarray(f['target_norm'])
+        # Observation-frame normal fed to the radiance branch (canonical
+        # predicted_norm rotated back by the shared screw's R⁻¹) — the
+        # frame the analytic scene normal lives in. target_norm /
+        # predicted_norm are canonical-frame and NOT comparable (the
+        # canonical orientation is arbitrary).
+        tn = np.asarray(f['norm_input'])
         ray_tn.append((w[..., None] * tn).sum(1))
         med_depth.append(np.asarray(f['med_depth']))
       ray_tn = np.concatenate(ray_tn)
