@@ -158,13 +158,21 @@ def main():
       depth = np.concatenate(med_depth)
       center = _sphere_center(int(iid) / src.num_frames)
       surf = o + depth[..., None] * d
+      # Surface-consistent pixels only: silhouette rays with low alpha get
+      # background median depths, placing `surf` far past the sphere and
+      # flipping the analytic normal's sign (measured: contaminated mean
+      # cosine −0.64 vs +0.4 filtered).
+      r_surf = np.linalg.norm(surf - center, axis=-1)
+      on_surface = mask2d & (r_surf < 0.32)
       gt_n = surf - center
       gt_n /= np.maximum(np.linalg.norm(gt_n, axis=-1, keepdims=True), 1e-8)
       pn = ray_tn / np.maximum(
           np.linalg.norm(ray_tn, axis=-1, keepdims=True), 1e-8)
-      if mask2d.sum():
-        coss.append(float(((gt_n * pn).sum(-1))[mask2d].mean()))
-    emit({'normal_cosine_train_views': round(float(np.mean(coss)), 4)})
+      if on_surface.sum():
+        coss.append(float(((gt_n * pn).sum(-1))[on_surface].mean()))
+    emit({'normal_cosine_train_views': round(float(np.mean(coss)), 4),
+          'note': 'observation-frame norm_input vs analytic outward '
+                  'normal, surface-consistent moving-object pixels'})
 
 
 if __name__ == '__main__':
