@@ -408,3 +408,26 @@ def test_concat_dense_inputs_matches_split_weight_with_skips():
                   jax.tree_util.tree_leaves(g1)):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_quantize_storage_survives_jit_and_second_order():
+  """The bf16 storage round-trip must not be folded away by XLA's
+  excess-precision simplifier (the optimization_barrier in
+  mlp.quantize_storage is load-bearing), and must stay twice
+  differentiable for the σ-gradient supervision."""
+  from nerfds_tpu.models.mlp import quantize_storage
+  x = jnp.asarray(np.random.RandomState(0).randn(8, 16), jnp.float32)
+  q = jax.jit(lambda v: quantize_storage(v, jnp.bfloat16))(x)
+  assert float(jnp.abs(q - x).max()) > 0  # really quantised under jit
+  np.testing.assert_allclose(np.asarray(q), np.asarray(x), atol=2e-2)
+
+  def f(v):
+    return jnp.sum(quantize_storage(v, jnp.bfloat16) ** 3)
+
+  g = jax.jit(jax.grad(f))(x)
+  assert np.isfinite(np.asarray(g)).all()
+  h = jax.jit(jax.grad(lambda v: jnp.sum(jax.grad(f)(v) ** 2)))(x)
+  assert np.isfinite(np.asarray(h)).all()
+  # Identity when disabled.
+  np.testing.assert_array_equal(np.asarray(quantize_storage(x, None)),
+                                np.asarray(x))
