@@ -38,6 +38,11 @@ class ModelConfig:
   nerf_skips: Tuple[int, ...] = (4,)
   activation: str = 'relu'
   sigma_activation: str = 'softplus'
+  # Parameter-free hidden-layer norm for the NeRF trunk/rgb branch
+  # (reference models.py:359 `norm_type` via modules.py:30-41
+  # `get_norm_layer`): None | 'layer' | 'group' | 'batch'. Off in all
+  # shipped configs, matching the reference.
+  norm_type: Optional[str] = None
   use_viewdirs: bool = True
 
   # Positional encodings.
@@ -134,6 +139,9 @@ class ModelConfig:
   mask_skips: Tuple[int, ...] = (4,)
   mask_output_activation: Optional[str] = 'relu'
   clamp_predicted_mask: bool = False
+  # Clamp ceiling for the predicted 3D mask when clamp_predicted_mask
+  # (reference hardcodes threshold = 0.2 at models.py:972).
+  predicted_mask_clamp_threshold: float = 0.2
   use_coarse_depth_for_mask: bool = False
   use_mask_scaled_weights: bool = False
   use_mask_sharp_weights: bool = False
@@ -260,6 +268,9 @@ class TrainConfig:
 
   # Mask losses.
   predicted_mask_loss_weight: float = 1.0
+  # Weight of the empty-space term folded into the 2D mask loss (reference
+  # hardcodes 0.003 at training.py:380).
+  empty_space_mask_loss_weight: float = 0.003
   mask_ratio_schedule: Any = ('constant', 1.0)
   use_mask_occlusion_reg_loss: bool = False
   mask_occlusion_reg_loss_weight: float = 1.0
@@ -274,6 +285,14 @@ class TrainConfig:
   print_every: int = 100
   log_every: int = 100
   random_seed: int = 0
+
+  # Observability (reference train.py:100-127 histograms,
+  # training.py:374-391 + utils.py:500-504 percentile stats).
+  # Percentiles of alpha / predicted 3D mask as 'percentile/*' scalars.
+  log_percentiles: bool = True
+  # Subsampled warped-point/delta/hyper distributions exported from the
+  # step as 'hist/*' arrays for TB histograms (trainer writes them).
+  log_histograms: bool = True
 
   # TPU-native extras (no reference equivalent).
   donate_batch: bool = True

@@ -44,6 +44,44 @@ def get_activation(name: Optional[str]) -> Callable[[jnp.ndarray], jnp.ndarray]:
   }[name]
 
 
+def apply_norm(x, norm_type: Optional[str], num_groups: int = 32):
+  """Parameter-free feature normalisation between Dense and activation.
+
+  Parity target: reference ``modules.py:30-41`` (``get_norm_layer``) — flax
+  Layer/Group/BatchNorm with ``use_scale=False, use_bias=False``, i.e. pure
+  normalisation with no learned affine, wired into the MLP at
+  ``modules.py:70-71`` (after the Dense, before the activation) and selected
+  by ``NerfModel.norm_type`` (``models.py:359``; off in all shipped configs).
+
+  'batch' normalises over the batch axes using *batch statistics* (the
+  training-mode behaviour); there are no running averages — the reference's
+  flax BatchNorm would need a mutable ``batch_stats`` collection that its
+  own train step never threads, so batch norm is unusable there too and the
+  batch-stat form is the only well-defined semantics to match.
+  """
+  if norm_type is None or norm_type == 'none':
+    return x
+  if norm_type == 'layer':
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + 1e-6)
+  if norm_type == 'group':
+    c = x.shape[-1]
+    groups = min(num_groups, c)
+    if c % groups != 0:
+      raise ValueError(f'channels {c} not divisible by {groups} groups')
+    g = x.reshape(*x.shape[:-1], groups, c // groups)
+    mean = jnp.mean(g, axis=-1, keepdims=True)
+    var = jnp.var(g, axis=-1, keepdims=True)
+    return ((g - mean) * jax.lax.rsqrt(var + 1e-6)).reshape(x.shape)
+  if norm_type == 'batch':
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+  raise ValueError(f'Unknown norm type {norm_type!r}')
+
+
 def dense_init(key, in_dim: int, out_dim: int,
                kernel_init: Initializer = glorot,
                use_bias: bool = True):
@@ -130,6 +168,9 @@ class MLP:
   width: int
   skips: Tuple[int, ...] = ()
   hidden_activation: str = 'relu'
+  # Parameter-free norm between Dense and activation (see `apply_norm`):
+  # None | 'layer' | 'group' | 'batch'.
+  hidden_norm: Optional[str] = None
   output_channels: int = 0
   output_activation: Optional[str] = None
   use_bias: bool = True
@@ -190,8 +231,9 @@ class MLP:
         layer_in = layer_in + input_parts  # reference order: [x, inputs]
         if self.concat_input and len(layer_in) > 1:
           layer_in = [jnp.concatenate(layer_in, axis=-1)]
-      h = act(dense_apply(params[f'hidden_{i}'], layer_in,
-                          precision=precision, dtype=dtype))
+      h = dense_apply(params[f'hidden_{i}'], layer_in,
+                      precision=precision, dtype=dtype)
+      h = act(apply_norm(h, self.hidden_norm))
       if dtype is None:
         h = quantize_storage(h, storage_dtype)
     x = h if self.depth > 0 else input_parts
@@ -226,11 +268,16 @@ class NerfMLP:
   predict_norm: bool = False
   norm_dim: int = 3
   concat_input: bool = False
+  # Hidden-layer normalisation for trunk AND rgb branch (reference wires
+  # the same `norm` into both, modules.py:127-137): None|'layer'|'group'|
+  # 'batch'.
+  hidden_norm: Optional[str] = None
 
   @property
   def trunk(self) -> MLP:
     return MLP(depth=self.trunk_depth, width=self.trunk_width,
                skips=self.skips, hidden_activation=self.activation,
+               hidden_norm=self.hidden_norm,
                concat_input=self.concat_input)
 
   @property
@@ -320,6 +367,7 @@ class NerfMLP:
       rgb_in.append(norm)
     rgb_mlp = MLP(depth=self.rgb_branch_depth, width=self.rgb_branch_width,
                   hidden_activation=self.activation,
+                  hidden_norm=self.hidden_norm,
                   output_channels=self.rgb_channels,
                   concat_input=self.concat_input)
     return rgb_mlp.apply(params['rgb'], rgb_in, precision=precision,

@@ -94,8 +94,12 @@ class NerfDSModel:
 
     Only meaningful for zones computing in f32 — a zone already running
     bf16 compute stores bf16 activations anyway."""
-    if self.config.storage_dtype != 'bfloat16':
+    if self.config.storage_dtype is None:
       return None
+    if self.config.storage_dtype != 'bfloat16':
+      raise ValueError(
+          f'Unsupported storage_dtype {self.config.storage_dtype!r}; '
+          "expected None or 'bfloat16'")
     if self.cdtype_for(zone) is not None:
       return None
     zones = self.config.storage_zones
@@ -164,6 +168,7 @@ class NerfDSModel:
                    rgb_branch_width=cfg.nerf_rgb_branch_width,
                    activation=cfg.activation, skips=cfg.nerf_skips,
                    predict_norm=cfg.predict_norm,
+                   hidden_norm=cfg.norm_type,
                    concat_input=cfg.concat_dense_inputs)
 
   @property
@@ -474,6 +479,7 @@ class NerfDSModel:
           warped_spatial = self.warp_field.warp(
               params['warp_field'], p, warp_in_embed,
               extra_params['warp_alpha'], prec,
+              dtype=self.cdtype_for('warp'),
               storage_dtype=self.sdtype_for('warp'))
       else:
         warped_spatial = p
@@ -640,7 +646,7 @@ class NerfDSModel:
       out['predicted_mask'] = predicted_mask.reshape(
           num_rays, num_samples, 1)
       if cfg.clamp_predicted_mask:
-        threshold = 0.2
+        threshold = cfg.predicted_mask_clamp_threshold
         predicted_mask = jnp.minimum(predicted_mask, threshold) / threshold
       mask = (predicted_mask * mask_ratio
               + gt_mask_b * (1.0 - mask_ratio))

@@ -203,12 +203,12 @@ class TranslationField:
     return {'mlp': self.mlp.init(key, in_dim)}
 
   def warp(self, params, points, metadata_embed, warp_alpha=None,
-           precision=None, dtype=None):
+           precision=None, dtype=None, storage_dtype=None):
     points_embed = math_ops.posenc(points, self.min_deg, self.max_deg,
                                    self.use_posenc_identity, warp_alpha)
     inputs = [points_embed, metadata_embed]  # virtual concat (split-weight)
     translation = self.mlp.apply(params['mlp'], inputs, precision=precision,
-                                 dtype=dtype)
+                                 dtype=dtype, storage_dtype=storage_dtype)
     return points + translation.astype(jnp.float32)
 
   def warp_jacobian(self, params, points, metadata_embed, warp_alpha=None):

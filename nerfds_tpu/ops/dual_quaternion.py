@@ -118,10 +118,31 @@ class DualQuatMotion(NamedTuple):
 
   @property
   def axis(self) -> jnp.ndarray:
-    """6-dim motion descriptor [rotation vector, translation] — the
-    dual-quaternion analog of the screw axis used by
-    ``screw_input_mode`` rgb conditioning (rotation part = axis·angle/2
-    from the quaternion log, translation part = t)."""
-    rot_vec = quaternion.im(quaternion.log(
-        quaternion.normalize(real_part(self.dq))))
-    return jnp.concatenate([rot_vec, self.translation_vec()], axis=-1)
+    """The 6-dim unit screw axis [w, v] — same semantics as
+    :attr:`ops.rigid.Screw.axis` (reference warping.py:222), so the
+    ``screw_input_mode`` rgb conditioning sees an identical descriptor
+    scale under either warp parameterisation.
+
+    w is the unit rotation axis; v is the unit-θ translation component,
+    recovered from (R, t) via the closed-form SE(3) log:
+    t = G(θ, w) v with G = θI + (1−cosθ)[w]ₓ + (θ−sinθ)[w]ₓ², whose
+    inverse is G⁻¹ = I/θ − [w]ₓ/2 + (1/θ − cot(θ/2)/2)[w]ₓ².
+    """
+    eps = 1e-12
+    # q = [sin(θ/2)·w, cos(θ/2)]; θ/2 = atan2(‖im‖, re) is stable at small
+    # angles where arccos(re) collapses to 0 in f32 (the init regime).
+    qn = quaternion.normalize(real_part(self.dq))
+    v_im = quaternion.im(qn)
+    sin_half = jnp.linalg.norm(v_im, axis=-1)
+    theta = 2.0 * jnp.arctan2(sin_half, qn[..., 3])
+    w = v_im / jnp.maximum(sin_half, eps)[..., None]
+    t = self.translation_vec()
+    safe_theta = jnp.maximum(theta, eps)[..., None]
+    # c(θ) = 1/θ − cot(θ/2)/2, Taylor θ/12 + θ³/720 + … near 0.
+    small = theta < 1e-3
+    guarded = jnp.where(small, 1.0, theta)
+    c_exact = 1.0 / guarded - 0.5 / jnp.tan(guarded / 2.0)
+    c = jnp.where(small, theta / 12.0, c_exact)[..., None]
+    wxt = jnp.cross(w, t)
+    v = t / safe_theta - 0.5 * wxt + c * jnp.cross(w, wxt)
+    return jnp.concatenate([w, v], axis=-1)

@@ -92,6 +92,42 @@ def test_motion_surface_matches_screw_semantics():
                              np.asarray(t), rtol=1e-4, atol=1e-5)
 
 
+def test_axis_matches_screw_axis_semantics():
+  """DualQuatMotion.axis returns the SAME unit screw axis [w, v] as
+  Screw.axis for the identical rigid motion — so screw_input_mode rgb
+  conditioning is scale-identical under either warp parameterisation."""
+  rng = np.random.RandomState(5)
+  screw = rigid.screw_from_raw(
+      jnp.asarray(rng.randn(8, 3) * 0.7, jnp.float32),
+      jnp.asarray(rng.randn(8, 3), jnp.float32))
+  q = quaternion.from_axis_angle(screw.w, screw.theta)
+  t = rigid.translation(screw)
+  motion = dq.DualQuatMotion(dq.from_rotation_translation(q, t))
+  got = np.asarray(motion.axis)
+  want = np.asarray(screw.axis)
+  # Quaternion double cover: log may return the -θ/-w representation;
+  # (w, v) -> (-w, -v) is the same screw line, compare up to sign.
+  sign = np.sign(np.sum(got[:, :3] * want[:, :3], axis=-1, keepdims=True))
+  np.testing.assert_allclose(sign * got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_axis_small_rotation_stable():
+  """Near-identity rotations (the init regime, θ≈1e-4) produce a finite,
+  correctly-scaled axis: v ≈ t/θ dominates, no NaN from the cot(θ/2) term."""
+  rng = np.random.RandomState(6)
+  w_raw = jnp.asarray(rng.randn(4, 3) * 1e-4, jnp.float32)
+  v_raw = jnp.asarray(rng.randn(4, 3) * 1e-4, jnp.float32)
+  screw = rigid.screw_from_raw(w_raw, v_raw)
+  q = quaternion.from_axis_angle(screw.w, screw.theta)
+  t = rigid.translation(screw)
+  motion = dq.DualQuatMotion(dq.from_rotation_translation(q, t))
+  got = np.asarray(motion.axis)
+  want = np.asarray(screw.axis)
+  assert np.isfinite(got).all()
+  sign = np.sign(np.sum(got[:, :3] * want[:, :3], axis=-1, keepdims=True))
+  np.testing.assert_allclose(sign * got, want, rtol=1e-2, atol=1e-3)
+
+
 def _small_dq_model():
   cfg = dataclasses.replace(
       config_lib.nerf_ds(), warp_field_type='dual_quaternion',

@@ -134,6 +134,7 @@ def test_batched_sigma_gradient_matches_per_point_grad(nerf_ds_model):
                              rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sigma_gradient_modes_agree(nerf_ds_model):
   """'vjp', 'jvp' and 'naive' ∇σ modes produce the same forward outputs
   and the same training gradients."""
@@ -168,6 +169,7 @@ def test_sigma_gradient_modes_agree(nerf_ds_model):
                                  rtol=2e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gradients_flow_to_all_params(nerf_ds_model):
   model, params = nerf_ds_model
   rays = make_rays()
@@ -284,6 +286,34 @@ def test_screw_condition_mode():
   out2 = model2.render(params2, rays, jax.random.PRNGKey(1),
                        default_extra_params(cfg_full))
   assert np.all(np.isfinite(np.asarray(out2['fine']['rgb'])))
+
+
+def test_translation_field_full_model():
+  """Full NeRF-DS pipeline with warp_field_type='translation': forward
+  renders and training grads reach the warp MLP (regression: the
+  storage_dtype kwarg was missing from TranslationField.warp, so every
+  translation-field forward raised TypeError)."""
+  cfg = small(config_lib.nerf_ds, warp_field_type='translation')
+  model = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4)
+  params = model.init(jax.random.PRNGKey(0))
+  rays = make_rays()
+  extra = default_extra_params(cfg)
+  out = model.render(params, rays, jax.random.PRNGKey(1), extra)
+  assert np.all(np.isfinite(np.asarray(out['fine']['rgb'])))
+
+  def loss(p):
+    o = model.render(p, rays, jax.random.PRNGKey(1), extra)
+    return jnp.mean(o['fine']['rgb'] ** 2)
+
+  g = jax.jit(jax.grad(loss))(params)
+  warp_g = jax.tree_util.tree_leaves(g['warp_field'])
+  assert all(np.isfinite(np.asarray(x)).all() for x in warp_g)
+  assert any(float(jnp.abs(x).max()) > 0 for x in warp_g)
+  # apply_warp (background-loss path) takes the same storage_dtype slot.
+  pts = jnp.asarray(np.random.RandomState(2).randn(5, 3), jnp.float32)
+  meta = jnp.zeros((5, 1), jnp.int32)
+  warped = model.apply_warp(params, pts, meta, extra)
+  assert np.all(np.isfinite(np.asarray(warped)))
 
 
 def test_hyper_c_mode():

@@ -327,6 +327,7 @@ def test_forward_parity(ref, name):
 
 
 @pytest.mark.parametrize('name', ['vanilla', 'nerf_ds'])
+@pytest.mark.slow
 def test_gradient_parity(ref, name):
   """d(loss)/d(params) agree — including through the σ-gradient (the loss
   reads target_norm WITHOUT stop_gradient, so the density is differentiated
@@ -485,6 +486,79 @@ def test_nerf_mlp_condition_module_parity(ref):
   np.testing.assert_allclose(np.asarray(rgb),
                              np.asarray(want_rgb).reshape(n, 3),
                              rtol=1e-5, atol=1e-6)
+
+
+def test_mlp_norm_layer_module_parity(ref):
+  """Weight-copied MLP with hidden norm layers (reference modules.py:30-41
+  `get_norm_layer` wired at modules.py:70-71): layer and group norm parity
+  vs the reference flax modules; batch norm vs flax's nn.BatchNorm in
+  batch-stats mode (the reference's own train step never threads the
+  mutable batch_stats collection, so that is the only runnable semantics)."""
+  import flax.linen as nn
+  from nerfds_tpu.models.mlp import MLP, apply_norm
+  rng = np.random.RandomState(7)
+  x = jnp.asarray(rng.randn(24, 20), jnp.float32)
+
+  for norm_type in ('layer', 'group'):
+    ref_mlp = ref.modules.MLP(
+        depth=3, width=32, skips=(1,), output_channels=5,
+        output_init=jax.nn.initializers.glorot_uniform(),
+        hidden_norm=ref.modules.get_norm_layer(norm_type))
+    ours = MLP(depth=3, width=32, skips=(1,), output_channels=5,
+               hidden_norm=norm_type)
+    variables = ref_mlp.init(jax.random.PRNGKey(0), x)
+    our_params = _copy_mlp(variables['params'])
+    want = np.asarray(ref_mlp.apply(variables, x))
+    got = np.asarray(ours.apply(our_params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                               err_msg=norm_type)
+
+  # Batch norm: compare the normalisation op itself against flax.
+  h = jnp.asarray(rng.randn(24, 32), jnp.float32)
+  bn = nn.BatchNorm(use_scale=False, use_bias=False,
+                    use_running_average=False)
+  bn_vars = bn.init(jax.random.PRNGKey(0), h)
+  want_bn, _ = bn.apply(bn_vars, h, mutable=['batch_stats'])
+  np.testing.assert_allclose(np.asarray(apply_norm(h, 'batch')),
+                             np.asarray(want_bn), rtol=1e-5, atol=1e-5)
+
+
+def test_norm_type_full_model_runs():
+  """norm_type plumbs through config -> NerfMLP -> trunk/rgb: full model
+  renders finitely and grads flow with layer norm on."""
+  import dataclasses
+  from nerfds_tpu import config as config_lib
+  from nerfds_tpu.models import NerfDSModel, default_extra_params
+  cfg = dataclasses.replace(
+      config_lib.nerf_ds(), norm_type='layer',
+      num_coarse_samples=6, num_fine_samples=4, nerf_trunk_depth=2,
+      nerf_trunk_width=32, se3_trunk_depth=2, se3_trunk_width=16,
+      hyper_sheet_depth=2, hyper_sheet_width=16, mask_mlp_depth=2,
+      mask_mlp_width=16, nerf_skips=(), se3_skips=(), hyper_sheet_skips=(),
+      mask_skips=())
+  model = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4,
+                      near=0.2, far=2.0)
+  params = model.init(jax.random.PRNGKey(0))
+  rng = np.random.RandomState(3)
+  d = rng.randn(6, 3).astype(np.float32)
+  d /= np.linalg.norm(d, axis=-1, keepdims=True)
+  rays = {
+      'origins': jnp.asarray(rng.randn(6, 3).astype(np.float32) * .1),
+      'directions': jnp.asarray(d),
+      'metadata': {'warp': jnp.asarray(
+          rng.randint(0, 4, (6, 1)), jnp.int32)},
+      'mask': jnp.asarray(rng.rand(6, 1).astype(np.float32)),
+  }
+  extra = default_extra_params(cfg)
+
+  def loss(p):
+    out = model.render(p, rays, jax.random.PRNGKey(1), extra)
+    return jnp.mean(out['fine']['rgb'] ** 2)
+
+  l, g = jax.jit(jax.value_and_grad(loss))(params)
+  assert np.isfinite(float(l))
+  assert all(np.isfinite(np.asarray(t)).all()
+             for t in jax.tree_util.tree_leaves(g))
 
 
 def test_pixel_gradient_parity(ref):
