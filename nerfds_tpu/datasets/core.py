@@ -244,6 +244,11 @@ class DataSource(abc.ABC):
     """Background (static) 3D points for the background loss, if any."""
     return None
 
+  def load_test_cameras(self, count: Optional[int] = None) -> List[Camera]:
+    """Novel-trajectory test cameras (reference core.py:380-381); sources
+    without a camera-paths directory have none."""
+    return []
+
   @property
   def embeddings_dict(self) -> Dict[str, List[int]]:
     """Metadata-key -> list of ids over TRAIN items (reference core.py:352)."""

@@ -38,7 +38,8 @@ _LIGHT_DIR = np.array([0.577, -0.577, -0.577], np.float32)
 
 
 def field(points: np.ndarray, t: float, static: bool = False,
-          viewdirs: Optional[np.ndarray] = None, specular: bool = False):
+          viewdirs: Optional[np.ndarray] = None, specular: bool = False,
+          specular_exponent: float = 25.0):
   """Analytic (density, color) field. points [..., 3] -> ([...], [..., 3]).
 
   With ``specular=True`` and ``viewdirs`` ([..., 3], camera→point unit
@@ -74,7 +75,10 @@ def field(points: np.ndarray, t: float, static: bool = False,
     half = half / np.maximum(
         np.linalg.norm(half, axis=-1, keepdims=True), 1e-8)
     n_dot_h = np.maximum((normal * half).sum(-1), 0.0)
-    highlight = 1.0 * n_dot_h ** 25
+    # Sharper exponents make the highlight a narrower function of
+    # (normal, viewdir) — harder to fit without normal machinery (the
+    # normals-ablation study raises this).
+    highlight = 1.0 * n_dot_h ** specular_exponent
     # Keep the diffuse term bright enough that the all-black-fog local
     # minimum stays unattractive (a 0.35x dim measurably collapsed
     # training), while the moving highlight remains the dominant
@@ -89,7 +93,8 @@ def field(points: np.ndarray, t: float, static: bool = False,
 
 def _render_image(camera: Camera, t: float, near: float, far: float,
                   num_samples: int = 192, static: bool = False,
-                  specular: bool = False, white_background: bool = False):
+                  specular: bool = False, white_background: bool = False,
+                  specular_exponent: float = 25.0):
   """Ground-truth ray march of the analytic field. Returns (rgb, mask).
 
   ``white_background`` composites unfilled transmittance onto white (the
@@ -112,7 +117,8 @@ def _render_image(camera: Camera, t: float, near: float, far: float,
     pts = o[:, None, :] + z[None, :, None] * d[:, None, :]
     view = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
     sigma, color = field(pts, t, static=static,
-                         viewdirs=view[:, None, :], specular=specular)
+                         viewdirs=view[:, None, :], specular=specular,
+                         specular_exponent=specular_exponent)
     center = _sphere_center(0.0 if static else t)
     moving = (np.linalg.norm(pts - center, axis=-1) < 0.3).astype(np.float32)
     dists = np.diff(z, append=z[-1] + (far - near)).astype(np.float32)
@@ -155,7 +161,7 @@ class SyntheticDataSource(DataSource):
   def __init__(self, num_frames: int = 8, image_size: int = 64,
                static: bool = False, gt_samples: int = 192,
                specular: bool = False, white_background: bool = False,
-               **kwargs):
+               specular_exponent: float = 25.0, **kwargs):
     ids = [f'{i:04d}' for i in range(num_frames)]
     train_ids = [i for k, i in enumerate(ids) if k % 4 != 3]
     val_ids = [i for k, i in enumerate(ids) if k % 4 == 3]
@@ -167,6 +173,7 @@ class SyntheticDataSource(DataSource):
     self.gt_samples = gt_samples
     self.specular = specular
     self.white_background = white_background
+    self.specular_exponent = specular_exponent
     self._cache: Dict[str, tuple] = {}
 
   @property
@@ -180,13 +187,17 @@ class SyntheticDataSource(DataSource):
   def _time(self, item_id: str) -> float:
     return int(item_id) / max(self.num_frames, 1)
 
+  # Public alias (normal-fidelity metric needs the frame's scene time).
+  frame_time = _time
+
   def _render(self, item_id: str):
     if item_id not in self._cache:
       camera = self.load_camera(item_id)
       rgb, mask = _render_image(camera, self._time(item_id), self.NEAR,
                                 self.FAR, num_samples=self.gt_samples,
                                 static=self.static, specular=self.specular,
-                                white_background=self.white_background)
+                                white_background=self.white_background,
+                                specular_exponent=self.specular_exponent)
       self._cache[item_id] = (rgb, mask)
     return self._cache[item_id]
 
@@ -276,4 +287,11 @@ def write_nerfies_dataset(source: SyntheticDataSource, out_dir,
       'val_ids': source.val_ids}))
   (out_dir / 'metadata.json').write_text(json.dumps(metadata))
   np.save(out_dir / 'points.npy', source.load_points())
+  # Novel-trajectory test cameras (reference layout: camera-paths/<name>/)
+  # — reuse the val-frame cameras as a minimal orbit so the evaluator's
+  # test split (eval.py --num_test_eval) is exercisable on synthetic data.
+  path_dir = out_dir / 'camera-paths' / 'orbit-mild'
+  path_dir.mkdir(parents=True, exist_ok=True)
+  for k, item_id in enumerate(source.val_ids):
+    source.load_camera(item_id).save_json(path_dir / f'{k:06d}.json')
   return out_dir

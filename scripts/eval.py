@@ -26,6 +26,9 @@ def main():
   parser.add_argument('--chunk', type=int, default=8192)
   parser.add_argument('--num_val_eval', type=int, default=5)
   parser.add_argument('--num_train_eval', type=int, default=5)
+  parser.add_argument('--num_test_eval', type=int, default=5,
+                      help='test-camera (camera-paths/<trajectory>) renders '
+                           'per checkpoint; 0 disables the split')
   parser.add_argument('--eval_once', action='store_true')
   parser.add_argument('--save_images', action='store_true')
   parser.add_argument('--poll_secs', type=float, default=10.0)
@@ -75,7 +78,11 @@ def main():
   metrics_dir = exp_dir / 'metrics'
   metrics_dir.mkdir(exist_ok=True)
   evaluated = set()
-  template = jax.device_get(trainer.init_state())
+  # Abstract restore template: shapes/dtypes only — avoids compiling and
+  # running a full param init just to throw the values away (the daemon
+  # always restores over it; orbax StandardRestore accepts
+  # ShapeDtypeStructs).
+  template = jax.eval_shape(trainer.init_state)
 
   while True:
     step = ckpt.latest_step()
@@ -133,9 +140,56 @@ def main():
                    for k in keys},
           'per_item': per_item,
       }
+    # Test-camera split (reference eval.py:440-477): render the
+    # camera-paths/<trajectory> cameras with randomly sampled metadata
+    # (reference sample_random_metadata, eval.py:186-211). No GT exists for
+    # these novel trajectories, so the report records what was rendered and
+    # panels are saved when --save_images.
+    test_cameras = ([] if args.num_test_eval <= 0 else
+                    datasource.load_test_cameras(count=args.num_test_eval))
+    if test_cameras:
+      from nerfds_tpu.datasets.core import camera_to_rays
+      from nerfds_tpu.evaluation.render import render_image
+      meta_rng = np.random.RandomState(step)
+      embeds = datasource.embeddings_dict
+      sampled_meta = {
+          k: np.full((1, 1), meta_rng.choice(ids),
+                     np.float32 if k == 'time' else np.int32)
+          for k, ids in embeds.items() if ids}
+      per_item = {}
+      for cam_idx, camera in enumerate(test_cameras):
+        item_id = f'{cam_idx:03d}'
+        rays = camera_to_rays(camera)
+        # Novel trajectories carry no foreground mask; render as
+        # background (mask=0), the convention apply_warp uses for
+        # free-space points.
+        rays['mask'] = np.zeros(rays['origins'].shape[:-1] + (1,),
+                                np.float32)
+        rays['metadata'] = dict(sampled_meta)
+        out = render_image(trainer.model, state.params, rays,
+                           jax.random.PRNGKey(0), extra_params,
+                           chunk=args.chunk, mesh=trainer.mesh)
+        rgb = np.asarray(out['rgb'])
+        per_item[item_id] = {'finite': bool(np.isfinite(rgb).all()),
+                             'mean_rgb': float(rgb.mean())}
+        if args.save_images:
+          render_dir = exp_dir / 'renders' / str(step) / 'test'
+          render_dir.mkdir(parents=True, exist_ok=True)
+          import PIL.Image
+          panel = np.concatenate([
+              rgb, viz.colorize_depth(np.asarray(out['med_depth']),
+                                      datasource.near, datasource.far)],
+              axis=1)
+          PIL.Image.fromarray(
+              (np.clip(panel, 0, 1) * 255).astype(np.uint8)
+          ).save(render_dir / f'{item_id}.png')
+      report['test'] = {
+          'metadata': {k: int(v.flat[0]) for k, v in sampled_meta.items()},
+          'per_item': per_item}
     (metrics_dir / f'{step}.json').write_text(json.dumps(report, indent=2))
     print(f'step {step}: ' + json.dumps(
-        {s: report[s]['mean'] for s in report}), flush=True)
+        {s: report[s].get('mean', report[s].get('metadata'))
+         for s in report}), flush=True)
     evaluated.add(step)
     if args.eval_once:
       return

@@ -11,6 +11,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 
 
@@ -27,8 +29,17 @@ def run_cli(script, *args, timeout=900):
 
 @pytest.fixture(scope='module')
 def exp_dir(tmp_path_factory):
+  # Train from a written Nerfies-layout scene dir (not the in-memory
+  # synthetic source) so the CLI covers the production datasource path,
+  # including camera-paths/ test cameras for the evaluator's test split.
+  from nerfds_tpu.datasets.synthetic import (SyntheticDataSource,
+                                             write_nerfies_dataset)
+  scene = tmp_path_factory.mktemp('cli_scene')
+  write_nerfies_dataset(
+      SyntheticDataSource(num_frames=8, image_size=32, gt_samples=96), scene)
   d = tmp_path_factory.mktemp('cli_exp')
   run_cli('train.py', '--preset', 'synthetic_smoke', '--exp_dir', str(d),
+          '--datasource', 'nerfies', '--data_dir', str(scene),
           '--max_steps', '40', '--batch_size', '64', '--platform', 'cpu',
           '--set', 'model.num_coarse_samples=6',
           '--set', 'model.num_fine_samples=6',
@@ -48,6 +59,7 @@ def test_train_cli_writes_experiment(exp_dir):
 def test_eval_cli_writes_metrics_at_checkpoint_step(exp_dir):
   run_cli('eval.py', '--exp_dir', str(exp_dir), '--eval_once',
           '--num_val_eval', '1', '--num_train_eval', '1',
+          '--num_test_eval', '1',
           '--chunk', '2048', '--save_images', '--platform', 'cpu')
   metrics = exp_dir / 'metrics' / '40.json'
   assert metrics.exists(), list((exp_dir / 'metrics').glob('*'))
@@ -56,6 +68,11 @@ def test_eval_cli_writes_metrics_at_checkpoint_step(exp_dir):
   assert np.isfinite(report['train']['mean']['psnr'])
   renders = list((exp_dir / 'renders' / '40').glob('**/*.png'))
   assert renders, 'no eval panels written'
+  # Test-camera split (reference eval.py:440-477): rendered with sampled
+  # metadata, panels under renders/<step>/test/.
+  assert 'test' in report, report.keys()
+  assert all(v['finite'] for v in report['test']['per_item'].values())
+  assert list((exp_dir / 'renders' / '40' / 'test').glob('*.png'))
 
 
 def test_render_cli_writes_debug_video(exp_dir, tmp_path):

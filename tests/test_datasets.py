@@ -87,6 +87,15 @@ def test_nerfies_directory_roundtrip(synth, tmp_path_factory):
                              atol=1e-5)
   pts = ds.load_points()
   assert pts is not None and pts.shape[1] == 3
+  # Test-camera trajectory (camera-paths/orbit-mild) round trips.
+  test_cams = ds.load_test_cameras()
+  assert len(test_cams) == len(synth.val_ids)
+  np.testing.assert_allclose(
+      test_cams[0].position, synth.load_camera(synth.val_ids[0]).position,
+      atol=1e-5)
+  assert len(ds.load_test_cameras(count=1)) >= 1
+  # Base sources without a trajectory dir report none.
+  assert synth.load_test_cameras() == []
 
 
 def test_host_iterator(synth):
