@@ -193,7 +193,9 @@ class Trainer:
       # loops) would otherwise rebuild the closure each call, and a fresh
       # function identity forces a full retrace + XLA compile (~minutes on
       # the production architecture) per segment.
-      cache_key = (id(store), background_points is not None)
+      cache_key = (id(store),
+                   id(background_points) if background_points is not None
+                   else None)
       if self._fused_step_cache and self._fused_step_cache[0] == cache_key:
         step_fn = self._fused_step_cache[1]
       else:
@@ -211,6 +213,17 @@ class Trainer:
       state, stats = step_fn(state, key)
       if (step + 1) % cfg.print_every == 0 or step + 1 == num_steps:
         stats_host = jax.device_get(stats)
+        # Route 'hist/*' array entries (subsampled warped-point
+        # distributions from the step) to TB histograms; scalars go to
+        # JSONL+TB as before (reference train.py:100-127 _log_histograms).
+        hists = {}
+        for level in list(stats_host):
+          sub = stats_host[level]
+          if isinstance(sub, dict):
+            for k in [k for k in sub if k.startswith('hist/')]:
+              hists[f'{level}/{k[5:]}'] = sub.pop(k)
+          elif level.startswith('hist/'):
+            hists[level[5:]] = stats_host.pop(level)
         tracker.toc('total')
         if log_fn is not None:
           log_fn(step + 1, {'stats': stats_host,
@@ -218,6 +231,20 @@ class Trainer:
         if self.metrics_writer is not None:
           self.metrics_writer.write_scalars(
               step + 1, {'train': stats_host, 'time': tracker.summary()})
+          for tag, values in hists.items():
+            self.metrics_writer.write_histogram(step + 1, tag, values)
+          # Embedding histograms (reference train.py:100-117).
+          params_host = None
+          for embed_key in ('warp_embed', 'hyper_embed', 'mask_embed'):
+            if embed_key in state.params:
+              if params_host is None:
+                params_host = jax.device_get(
+                    {k: state.params[k] for k in
+                     ('warp_embed', 'hyper_embed', 'mask_embed')
+                     if k in state.params})
+              self.metrics_writer.write_histogram(
+                  step + 1, embed_key.replace('_embed', '_embedding'),
+                  params_host[embed_key]['embedding'])
         tracker.reset()
       else:
         tracker.toc('total')
@@ -233,8 +260,13 @@ class Trainer:
   # -- evaluation -----------------------------------------------------------
 
   def eval_psnr(self, state: TrainState, item_ids=None,
-                chunk: int = 8192) -> Dict[str, float]:
-    """Renders held-out views and computes the reference metric set."""
+                chunk: int = 8192, masked: bool = False) -> Dict[str, float]:
+    """Renders held-out views and computes the reference metric set.
+
+    masked=True adds 'masked_psnr': PSNR restricted to foreground
+    (moving-object) pixels — the NeRF-DS phenomenon lives on the specular
+    moving object, and whole-image PSNR dilutes it with static background.
+    """
     if item_ids is None:
       item_ids = self.datasource.val_ids or self.datasource.train_ids[:1]
     schedules = build_schedules(self.train_cfg)
@@ -252,6 +284,14 @@ class Trainer:
       out = render_image(self.model, state.params, rays,
                          jax.random.PRNGKey(0), extra, chunk=chunk,
                          mesh=self.mesh)
-      results.append(metrics_lib.compute_all(out['rgb'], item['rgb']))
+      m = metrics_lib.compute_all(out['rgb'], item['rgb'])
+      if masked:
+        fg = np.asarray(item['mask'])[..., 0] > 0.5
+        if fg.any():
+          err = (np.asarray(out['rgb']) - item['rgb'])[fg]
+          mse = float(np.mean(err ** 2))
+          m['masked_psnr'] = -10.0 * float(np.log10(max(mse, 1e-12)))
+      results.append(m)
     keys = results[0].keys()
-    return {k: float(np.mean([r[k] for r in results])) for k in keys}
+    return {k: float(np.mean([r[k] for r in results if k in r]))
+            for k in keys}

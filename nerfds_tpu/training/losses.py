@@ -18,6 +18,17 @@ from nerfds_tpu.ops import math as math_ops
 from nerfds_tpu.ops import rendering
 
 
+def percentile_stats(stats: Dict[str, jnp.ndarray], name: str, array,
+                     percentile_step: int = 10) -> None:
+  """Deciles of ``array`` as 'percentile/<name>_<p>' scalar stats
+  (reference ``get_percentile_stats``, utils.py:500-504). One in-jit sort,
+  all 11 percentiles gathered from it."""
+  qs = jnp.arange(0, 101, percentile_step, dtype=jnp.float32)
+  values = jnp.percentile(array, qs)
+  for i, p in enumerate(range(0, 101, percentile_step)):
+    stats[f'percentile/{name}_{p}'] = values[i]
+
+
 def rgb_loss_fn(pred, target, use_shrinkage_loss: bool):
   err = pred[..., :3] - target[..., :3]
   if use_shrinkage_loss:
@@ -164,7 +175,14 @@ def compute_loss_and_stats(
     low_alpha = 1.0 - jax.nn.sigmoid(100.0 * (alpha - 0.1))
     empty_space_loss = (low_alpha * mask_size).sum(axis=1).mean()
     stats['loss/empty_space_mask'] = empty_space_loss
-    predicted_mask_loss = predicted_mask_loss + 0.003 * empty_space_loss
+    if train_cfg.log_percentiles:
+      # Alpha-distribution canaries (reference training.py:374-377).
+      percentile_stats(stats, 'alpha', alpha)
+    stats['stats/low_alpha_mean'] = jnp.mean(low_alpha)
+    stats['stats/predicted_mask_max'] = jnp.max(predicted_mask)
+    predicted_mask_loss = (
+        predicted_mask_loss
+        + train_cfg.empty_space_mask_loss_weight * empty_space_loss)
     loss = loss + train_cfg.predicted_mask_loss_weight * predicted_mask_loss
 
   if 'predicted_mask' in model_out and model_cfg.use_3d_mask:
@@ -181,6 +199,10 @@ def compute_loss_and_stats(
     ray_predicted_mask = (w * predicted_mask).sum(axis=1)
     predicted_mask_loss = ((gt_mask - ray_predicted_mask) ** 2).mean()
     stats['loss/predicted_mask'] = predicted_mask_loss
+    if train_cfg.log_percentiles:
+      # 3D-mask distribution canaries (reference training.py:391).
+      percentile_stats(stats, '3d_mask', predicted_mask)
+    stats['stats/weights_sum'] = jnp.mean(jnp.sum(weights, axis=1))
     loss = loss + train_cfg.predicted_mask_loss_weight * predicted_mask_loss
     if train_cfg.use_mask_occlusion_reg_loss:
       low_weights = jnp.maximum(0.01 - weights, 0.0)

@@ -123,6 +123,26 @@ def make_loss_fn(model: NerfDSModel, train_cfg: TrainConfig
       total = total + train_cfg.background_loss_weight * background_loss
       stats['loss/background'] = background_loss
 
+    if train_cfg.log_histograms:
+      # Subsampled warped-point distributions for TB histograms
+      # (reference train.py:100-127 logs the full [R,S,·] tensors; a
+      # strided 2048-sample is statistically equivalent and keeps the
+      # step's extra output bytes negligible). Arrays are ignored by the
+      # scalar JSONL writer; the trainer routes 'hist/*' entries to
+      # MetricWriter.write_histogram.
+      level = 'fine' if 'fine' in out else 'coarse'
+      o = out[level]
+      warped = jax.lax.stop_gradient(o['warped_points'])
+      points = jax.lax.stop_gradient(o['points'])
+      spatial = warped[..., :3].reshape(-1, 3)
+      delta = (warped[..., :3] - points).reshape(-1, 3)
+      stride = max(1, spatial.shape[0] // 2048)
+      stats['hist/spatial_points'] = spatial[::stride]
+      stats['hist/spatial_points_delta'] = delta[::stride]
+      if warped.shape[-1] > 3:
+        hyper = warped[..., 3:].reshape(-1, warped.shape[-1] - 3)
+        stats['hist/hyper_points'] = hyper[::stride]
+
     return total, stats
 
   return loss_fn

@@ -108,6 +108,47 @@ def test_background_and_elastic_losses_run(trainer):
   assert np.isfinite(float(stats['coarse']['loss/total']))
 
 
+@pytest.mark.slow
+def test_observability_stats_and_histograms(trainer, tmp_path):
+  """Percentile canaries (reference training.py:374-391) + histogram
+  exports (train.py:100-127): stats carry 'percentile/*' scalars and
+  'hist/*' subsampled arrays; a Trainer run writes TB histograms and keeps
+  the JSONL scalar-only."""
+  store = trainer.build_store()
+  state = trainer.init_state()
+  step_fn = make_fused_train_step(trainer.model, trainer.train_cfg, store)
+  state, stats = step_fn(state, jax.random.PRNGKey(0))
+  # nerf_ds config uses the 3D mask branch.
+  assert 'percentile/3d_mask_50' in stats['fine']
+  assert 'stats/weights_sum' in stats['fine']
+  assert 'hist/spatial_points' in stats
+  assert 'hist/spatial_points_delta' in stats
+  assert 'hist/hyper_points' in stats
+  assert stats['hist/spatial_points'].shape[-1] == 3
+  assert 1 <= stats['hist/spatial_points'].shape[0] <= 2048
+  # Disabled flags remove the extra outputs.
+  off_cfg = dataclasses.replace(trainer.train_cfg, log_percentiles=False,
+                                log_histograms=False)
+  step_off = make_fused_train_step(trainer.model, off_cfg, store)
+  _, stats_off = step_off(trainer.init_state(), jax.random.PRNGKey(0))
+  assert 'percentile/3d_mask_50' not in stats_off['fine']
+  assert not any(k.startswith('hist/') for k in stats_off)
+
+  # End-to-end: Trainer routes hists to the writer; JSONL stays scalar.
+  t = Trainer.from_experiment(trainer.model.config, trainer.train_cfg,
+                              trainer.datasource, exp_dir=tmp_path,
+                              use_mesh=False)
+  t.train(num_steps=trainer.train_cfg.print_every)
+  import json as json_lib
+  lines = [json_lib.loads(l) for l in
+           (tmp_path / 'summaries' / 'metrics.jsonl').read_text().splitlines()]
+  assert lines, 'no JSONL metrics written'
+  assert any(k.startswith('train/fine/percentile/alpha'.replace('alpha', ''))
+             or 'percentile' in k for rec in lines for k in rec)
+  assert all(isinstance(v, (int, float, str)) for rec in lines
+             for v in rec.values())
+
+
 def test_unfused_step_with_explicit_batch(trainer):
   from nerfds_tpu.datasets import sample_batch
   store = trainer.build_store()
