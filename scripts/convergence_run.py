@@ -17,7 +17,6 @@ Usage:
 """
 import argparse
 import dataclasses
-import functools
 import json
 import sys
 import time
@@ -40,7 +39,6 @@ def main():
   args = p.parse_args()
 
   import jax
-  import jax.numpy as jnp
   import numpy as np
   from nerfds_tpu import config as config_lib
   from nerfds_tpu.datasets.synthetic import (SyntheticDataSource,
@@ -110,69 +108,33 @@ def main():
           'val_psnr': round(m_val['psnr'], 3),
           'val_ms_ssim': round(m_val['ms_ssim'], 4)})
 
-  # Normal fidelity: weights-accumulated canonical σ-grad normal
-  # (target_norm) vs the analytic sphere normal, on moving-object pixels of
-  # train views (only meaningful with the normal branch on).
+  # Normal fidelity (only meaningful with the normal branch on):
+  # weight-argmax association — the observation-frame normal at each ray's
+  # highest-weight sample vs the analytic sphere normal at that sample's
+  # position. Replaces the round-3 median-depth association, which selected
+  # zero pixels at production scale (silhouette rays take background
+  # depths). See nerfds_tpu/evaluation/normals.py.
   if not args.no_normals:
+    from nerfds_tpu.evaluation.normals import (normal_fidelity,
+                                               sphere_analytic_normal,
+                                               sphere_surface_filter)
     scalars = eval_schedules(build_schedules(train_cfg), state.step)
     extra = dict(default_extra_params(model_cfg))
     for k in ('nerf_alpha', 'warp_alpha', 'hyper_alpha',
               'hyper_sheet_alpha', 'norm_input_alpha'):
       extra[k] = scalars[k]
-    # Jitted: eager per-op dispatch over the tunneled backend is
-    # network-latency slow (environment gotcha in the verify skill).
-    render_chunk = jax.jit(functools.partial(
-        trainer.model.render, return_full=True, return_weights=True))
-    coss = []
-    for iid in src.train_ids[:4]:
-      item = src.load_item(iid)
-      o = item['origins'].reshape(-1, 3)
-      d = item['directions'].reshape(-1, 3)
-      mask2d = item['mask'].reshape(-1) > 0.5
-      ray_tn = []
-      med_depth = []
-      for s0 in range(0, o.shape[0], 2048):
-        sub = {
-            'origins': jnp.asarray(o[s0:s0 + 2048]),
-            'directions': jnp.asarray(d[s0:s0 + 2048]),
-            'mask': jnp.asarray(
-                item['mask'].reshape(-1, 1)[s0:s0 + 2048]),
-            'metadata': {
-                k: jnp.asarray(np.broadcast_to(
-                    v.reshape(-1, v.shape[-1])[:1],
-                    (min(2048, o.shape[0] - s0), v.shape[-1])))
-                for k, v in item['metadata'].items()},
-        }
-        out = render_chunk(state.params, sub, jax.random.PRNGKey(0), extra)
-        f = out['fine']
-        w = np.asarray(f['weights'])
-        # Observation-frame normal fed to the radiance branch (canonical
-        # predicted_norm rotated back by the shared screw's R⁻¹) — the
-        # frame the analytic scene normal lives in. target_norm /
-        # predicted_norm are canonical-frame and NOT comparable (the
-        # canonical orientation is arbitrary).
-        tn = np.asarray(f['norm_input'])
-        ray_tn.append((w[..., None] * tn).sum(1))
-        med_depth.append(np.asarray(f['med_depth']))
-      ray_tn = np.concatenate(ray_tn)
-      depth = np.concatenate(med_depth)
-      center = _sphere_center(int(iid) / src.num_frames)
-      surf = o + depth[..., None] * d
-      # Surface-consistent pixels only: silhouette rays with low alpha get
-      # background median depths, placing `surf` far past the sphere and
-      # flipping the analytic normal's sign (measured: contaminated mean
-      # cosine −0.64 vs +0.4 filtered).
-      r_surf = np.linalg.norm(surf - center, axis=-1)
-      on_surface = mask2d & (r_surf < 0.32)
-      gt_n = surf - center
-      gt_n /= np.maximum(np.linalg.norm(gt_n, axis=-1, keepdims=True), 1e-8)
-      pn = ray_tn / np.maximum(
-          np.linalg.norm(ray_tn, axis=-1, keepdims=True), 1e-8)
-      if on_surface.sum():
-        coss.append(float(((gt_n * pn).sum(-1))[on_surface].mean()))
-    emit({'normal_cosine_train_views': round(float(np.mean(coss)), 4),
-          'note': 'observation-frame norm_input vs analytic outward '
-                  'normal, surface-consistent moving-object pixels'})
+    fid = normal_fidelity(trainer.model, state.params, src, extra,
+                          sphere_analytic_normal(_sphere_center),
+                          item_ids=src.train_ids[:4],
+                          surface_filter=sphere_surface_filter(
+                              _sphere_center))
+    emit({'normal_cosine_train_views': round(fid['cosine'], 4),
+          'normal_surface_cosine': round(fid['surface_cosine'], 4),
+          'normal_pixels': fid['num_pixels'],
+          'normal_surface_pixels': fid['surface_pixels'],
+          'normal_frac_selected': round(fid['frac_selected'], 4),
+          'note': 'weight-argmax sample association: observation-frame '
+                  'norm_input vs analytic outward normal'})
 
 
 if __name__ == '__main__':
