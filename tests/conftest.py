@@ -19,5 +19,27 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_addoption(parser):
+  parser.addoption(
+      "--runslow", action="store_true", default=False,
+      help="run tests marked slow (multi-minute trains / subprocess "
+           "pipelines); without it the suite is the <3-min fast path")
+
+
+def pytest_configure(config):
+  config.addinivalue_line(
+      "markers", "slow: multi-minute test (run with --runslow)")
+
+
+def pytest_collection_modifyitems(config, items):
+  if config.getoption("--runslow"):
+    return
+  skip_slow = pytest.mark.skip(reason="slow test: pass --runslow")
+  for item in items:
+    if "slow" in item.keywords:
+      item.add_marker(skip_slow)

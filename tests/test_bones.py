@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerfds_tpu.models.bones import BoneSE3Field, bone_probs
 
@@ -42,6 +43,7 @@ def test_bone_field_forward():
       np.asarray(grads['bone_centers'])).all()
 
 
+@pytest.mark.slow
 def test_bone_mode_in_full_model():
   import sys
   sys.path.insert(0, 'tests')

@@ -99,6 +99,7 @@ _WORKER = textwrap.dedent("""
 
 @pytest.mark.skipif(os.environ.get('NERFDS_SKIP_MULTIPROC') == '1',
                     reason='multi-process test disabled')
+@pytest.mark.slow
 def test_two_process_end_to_end(tmp_path):
   """Two real jax processes, 4 CPU devices each: per-process item loading,
   global 8-way ray sharding, 3 sharded train steps; replicated loss and

@@ -34,6 +34,7 @@ def test_mesh_shape(mesh):
   assert mesh.axis_names == ('data',)
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(trainer, mesh):
   store = trainer.build_store()
   state = trainer.init_state()
