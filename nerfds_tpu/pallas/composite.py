@@ -46,7 +46,7 @@ def _composite_reference(rgb, sigma, z_vals, dirs, sample_at_infinity, eps):
   return out_rgb, depth, acc, weights, alpha, accum
 
 
-def _kernel(rgb_ref, sigma_ref, z_ref, dirnorm_ref,
+def _kernel(r_ref, g_ref, b_ref, sigma_ref, z_ref, dirnorm_ref,
             rgb_out, depth_out, acc_out, weights_out, alpha_out, accum_out,
             *, sample_at_infinity: bool, eps: float, num_samples: int):
   z = z_ref[:]                      # [T, S]
@@ -57,19 +57,30 @@ def _kernel(rgb_ref, sigma_ref, z_ref, dirnorm_ref,
       [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], last)], axis=-1)
   dists = dists * dirnorm
   alpha = 1.0 - jnp.exp(-sigma * dists)
-  # Exclusive prefix product of (1 - alpha + eps) via log-cumsum (the terms
-  # are > 0 by construction: 1-alpha >= 0 and +eps).
+  # Exclusive prefix product of (1 - alpha + eps) via log-prefix-sum (the
+  # terms are > 0 by construction: 1-alpha >= 0 and +eps). The prefix sum
+  # is a triangular matmul — Mosaic has no cumsum lowering on real TPU
+  # (interpret mode accepted it; hardware raised NotImplementedError), and
+  # an [T,S]@[S,S] f32 matmul at S=128 is a single MXU tile anyway.
   shifted = jnp.concatenate(
       [jnp.ones_like(alpha[:, :1]), 1.0 - alpha[:, :-1] + eps], axis=-1)
-  accum = jnp.exp(jnp.cumsum(jnp.log(shifted), axis=-1))
+  ii = jax.lax.broadcasted_iota(jnp.int32,
+                                (num_samples, num_samples), 0)
+  jj = jax.lax.broadcasted_iota(jnp.int32,
+                                (num_samples, num_samples), 1)
+  tri = (ii <= jj).astype(jnp.float32)   # upper-tri: col j sums rows <= j
+  accum = jnp.exp(jnp.dot(jnp.log(shifted), tri,
+                          preferred_element_type=jnp.float32))
   weights = alpha * accum
   alpha_out[:] = alpha
   accum_out[:] = accum
   weights_out[:] = weights
-  # Reductions.
-  rgb = rgb_ref[:]                  # [T, S, 3] -> stored as [T, S*3]
-  rgb = rgb.reshape(rgb.shape[0], num_samples, 3)
-  rgb_out[:] = jnp.sum(weights[..., None] * rgb, axis=-2)
+  # Reductions. rgb arrives as three [T, S] channel planes (a [T, S, 3]
+  # block would need a lane-splitting reshape Mosaic cannot lay out).
+  rgb_out[:] = jnp.concatenate([
+      jnp.sum(weights * r_ref[:], axis=-1, keepdims=True),
+      jnp.sum(weights * g_ref[:], axis=-1, keepdims=True),
+      jnp.sum(weights * b_ref[:], axis=-1, keepdims=True)], axis=-1)
   depth_out[:] = jnp.sum(weights * z, axis=-1, keepdims=True)
   acc_out[:] = jnp.sum(weights, axis=-1, keepdims=True)
 
@@ -85,7 +96,10 @@ def _forward_pallas(rgb, sigma, z_vals, dirs, sample_at_infinity, eps,
     z_vals = jnp.pad(z_vals, ((0, pad), (0, 0)), constant_values=1.0)
     dirs = jnp.pad(dirs, ((0, pad), (0, 0)), constant_values=1.0)
   dirnorm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-  rgb_flat = rgb.reshape(n_pad, num_samples * 3)
+  # Three [R, S] channel planes (see kernel note).
+  r_plane = rgb[..., 0]
+  g_plane = rgb[..., 1]
+  b_plane = rgb[..., 2]
 
   kernel = functools.partial(_kernel, sample_at_infinity=sample_at_infinity,
                              eps=eps, num_samples=num_samples)
@@ -95,8 +109,9 @@ def _forward_pallas(rgb, sigma, z_vals, dirs, sample_at_infinity, eps,
       kernel,
       grid=grid,
       in_specs=[
-          pl.BlockSpec((tile, num_samples * 3), row,
-                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile, num_samples), row, memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile, num_samples), row, memory_space=pltpu.VMEM),
+          pl.BlockSpec((tile, num_samples), row, memory_space=pltpu.VMEM),
           pl.BlockSpec((tile, num_samples), row, memory_space=pltpu.VMEM),
           pl.BlockSpec((tile, num_samples), row, memory_space=pltpu.VMEM),
           pl.BlockSpec((tile, 1), row, memory_space=pltpu.VMEM),
@@ -118,7 +133,7 @@ def _forward_pallas(rgb, sigma, z_vals, dirs, sample_at_infinity, eps,
           jax.ShapeDtypeStruct((n_pad, num_samples), jnp.float32),
       ],
       interpret=interpret,
-  )(rgb_flat, sigma, z_vals, dirnorm)
+  )(r_plane, g_plane, b_plane, sigma, z_vals, dirnorm)
   out_rgb, depth, acc, weights, alpha, accum = outs
   trim = lambda x: x[:num_rays]
   return (trim(out_rgb), trim(depth)[:, 0], trim(acc)[:, 0], trim(weights),
