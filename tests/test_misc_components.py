@@ -142,3 +142,43 @@ def test_gpath_storage_transparent():
   assert str(g / 'dataset.json').endswith('bucket/scene/dataset.json')
   # The data-layer loaders route through GPath, so a remote data_dir
   # reaches the gcsfs backend rather than open()/np.fromfile.
+
+
+def test_normal_fidelity_metric_mechanics():
+  """normal_fidelity (weight-argmax association) on an UNTRAINED tiny
+  model: selects pixels, returns finite shapes, and the surface-filter
+  variant restricts the reported set. Fast-path cover for the metric the
+  slow specular gate exercises at scale."""
+  import dataclasses
+  import jax
+  import numpy as np
+  from nerfds_tpu import config as config_lib
+  from nerfds_tpu.datasets.synthetic import SyntheticDataSource, _sphere_center
+  from nerfds_tpu.evaluation.normals import (normal_fidelity,
+                                             sphere_analytic_normal,
+                                             sphere_surface_filter)
+  from nerfds_tpu.models import NerfDSModel, default_extra_params
+  src = SyntheticDataSource(num_frames=4, image_size=16, gt_samples=48,
+                            specular=True)
+  cfg = dataclasses.replace(
+      config_lib.nerf_ds(), num_coarse_samples=6, num_fine_samples=4,
+      nerf_trunk_depth=2, nerf_trunk_width=32, se3_trunk_depth=2,
+      se3_trunk_width=16, hyper_sheet_depth=2, hyper_sheet_width=16,
+      mask_mlp_depth=2, mask_mlp_width=16, nerf_skips=(), se3_skips=(),
+      hyper_sheet_skips=(), mask_skips=())
+  model = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4,
+                      near=src.near, far=src.far)
+  params = model.init(jax.random.PRNGKey(0))
+  extra = default_extra_params(cfg)
+  fid = normal_fidelity(
+      model, params, src, extra,
+      sphere_analytic_normal(_sphere_center),
+      item_ids=src.train_ids[:1], chunk=128,
+      min_weight=0.0,  # untrained: accept any argmax so selection is full
+      surface_filter=sphere_surface_filter(_sphere_center))
+  assert set(fid) == {'cosine', 'num_pixels', 'frac_selected',
+                      'surface_cosine', 'surface_pixels'}
+  assert fid['num_pixels'] > 0
+  assert fid['frac_selected'] > 0.9  # min_weight=0 selects all fg pixels
+  assert fid['surface_pixels'] <= fid['num_pixels']
+  assert -1.0 <= fid['cosine'] <= 1.0
