@@ -4,15 +4,23 @@ The NeRF-DS raison d'être is normal-aware radiance (reference README.md:1-12,
 norm path models.py:1104-1152); nothing in the reference measures normal
 *accuracy* — this is the measurement harness the rebuild adds.
 
-Association is by WEIGHT ARGMAX: for every ray the sample with the largest
-compositing weight is taken as "the surface the model sees", and the
-observation-frame normal at that sample (``norm_input`` — the canonical
-predicted normal rotated back through the shared screw's R⁻¹, the frame an
-analytic scene normal lives in) is compared against the analytic normal at
-that sample's 3D position. Unlike a median-depth → radius-window
-association, this selects a non-empty pixel set whenever the model puts
-mass anywhere (the round-3 median-depth variant selected ZERO pixels at
-production scale because silhouette rays take background depths).
+Association is by the MEDIAN-WEIGHT SAMPLE: for every ray the sample where
+cumulative compositing weight crosses 0.5 (``compute_depth_index`` — the
+reference's median-depth / med_points convention, model_utils.py:272-317)
+is taken as "the surface the model sees", and the observation-frame normal
+at that sample (``norm_input`` — the canonical predicted normal rotated
+back through the shared screw's R⁻¹, the frame an analytic scene normal
+lives in) is compared against the analytic normal at that sample's 3D
+position.
+
+Two rejected associators, both measured: (a) the round-3 median-DEPTH
+point + hard radius gate returned an empty pixel set at production scale;
+(b) a per-ray weight ARGMAX is unstable under diffuse weight rows — on a
+400-step model it lands at median radius 0.65 from the sphere centre
+(near-plane and tail samples win the argmax) while the median-weight
+sample sits at 0.23, i.e. on the actual surface. The median-weight sample
+is robust to diffuse tails yet still indexes a real sample so per-sample
+normals can be gathered.
 """
 from __future__ import annotations
 
@@ -22,6 +30,8 @@ from typing import Callable, Dict, Iterable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from nerfds_tpu.ops import rendering
 
 
 def normal_fidelity(model, params, source, extra_params,
@@ -40,16 +50,16 @@ def normal_fidelity(model, params, source, extra_params,
 
   Returns {'cosine', 'num_pixels', 'frac_selected'} (+ 'surface_cosine',
   'surface_pixels' when ``surface_filter`` is given); selection is
-  foreground-mask pixels whose argmax compositing weight exceeds
-  ``min_weight`` (the model actually resolved a surface there).
+  foreground-mask pixels whose median-weight sample carries more than
+  ``min_weight`` compositing weight (the model actually resolved a
+  surface there).
 
-  surface_filter(points [N,3], t) -> bool [N]: restricts the *cosine* to
-  argmax points consistent with the true surface. The unfiltered cosine is
-  only meaningful once geometry has converged: at short horizons the
-  argmax can sit on far-field fog, where the analytic normal points away
-  from the camera and the cosine is mechanically negative regardless of
-  the normal branch's quality (measured: 500-step CI runs select radius
-  ~0.9 points on a 0.25-radius sphere, cosine −0.69).
+  surface_filter(points [N,3], t) -> bool [N]: restricts the reported
+  'surface_cosine' to associated points consistent with the true surface.
+  The unfiltered cosine is only meaningful once geometry has converged:
+  at short horizons the associated point can sit on fog, where the
+  analytic normal points away from the camera and the cosine is
+  mechanically negative regardless of the normal branch's quality.
   """
   render_chunk = jax.jit(functools.partial(
       model.render, return_full=True, return_weights=True,
@@ -81,7 +91,7 @@ def normal_fidelity(model, params, source, extra_params,
       w = np.asarray(f['weights'])                       # [R, S]
       tn = np.asarray(f['norm_input'])                   # [R, S, 3]
       pts = np.asarray(f['points'])                      # [R, S, 3]
-      idx = w.argmax(axis=1)
+      idx = np.asarray(rendering.compute_depth_index(jnp.asarray(w)))
       rows = np.arange(w.shape[0])
       sel_pts.append(pts[rows, idx])
       sel_norms.append(tn[rows, idx])

@@ -116,5 +116,5 @@ def test_full_nerf_ds_trains_on_specular_scene():
                         item_ids=src.train_ids[:2],
                         surface_filter=sphere_surface_filter(_sphere_center))
   assert fid['num_pixels'] > 20, fid
-  assert fid['frac_selected'] > 0.2, fid
+  assert fid['frac_selected'] > 0.05, fid
   assert np.isfinite(fid['cosine']), fid
