@@ -56,6 +56,15 @@ def compute_ssim(a, b, max_val: float = 1.0, filter_size: int = 11,
   sigma_aa = _filter2d_separable(a * a, kernel) - mu_aa
   sigma_bb = _filter2d_separable(b * b, kernel) - mu_bb
   sigma_ab = _filter2d_separable(a * b, kernel) - mu_ab
+  # Float cancellation in E[x²]−µ² can produce slightly negative variances
+  # and covariances beyond the Cauchy–Schwarz bound; on near-constant
+  # patches that pushes the cs term past 1 and MS-SSIM above 1 (observed
+  # 1.01 on real renders). Clamping restores the mathematical guarantees
+  # (variance ≥ 0, |σ_ab| ≤ √(σ_aa σ_bb)) so SSIM/MS-SSIM ∈ [−1, 1].
+  sigma_aa = jnp.maximum(sigma_aa, 0.0)
+  sigma_bb = jnp.maximum(sigma_bb, 0.0)
+  bound = jnp.sqrt(sigma_aa * sigma_bb)
+  sigma_ab = jnp.clip(sigma_ab, -bound, bound)
   c1 = (k1 * max_val) ** 2
   c2 = (k2 * max_val) ** 2
   luminance = (2 * mu_ab + c1) / (mu_aa + mu_bb + c1)

@@ -70,3 +70,25 @@ def test_compute_all_keys():
   out = m.compute_all(a, b)
   assert set(out) == {'mse', 'psnr', 'ssim', 'ms_ssim'}
   assert all(np.isfinite(v) for v in out.values())
+
+
+def test_msssim_bounded_on_degenerate_patches():
+  """SSIM/MS-SSIM must stay <= 1: float cancellation in E[x^2]-mu^2 used
+  to push the cs term past 1 on near-constant patches (observed 1.0102 on
+  real renders); the variance/covariance clamps restore the bound."""
+  import numpy as np
+  import jax.numpy as jnp
+  from nerfds_tpu.evaluation import metrics as m
+  rng = np.random.RandomState(0)
+  for trial in range(30):
+    # Large constant regions + small structured patches: the degenerate
+    # regime for the variance estimator.
+    a = np.full((64, 64, 3), rng.uniform(0.5, 1.0), np.float32)
+    h = rng.randint(4, 20)
+    a[:h, :h] = rng.rand(h, h, 3)
+    b = a + rng.randn(64, 64, 3).astype(np.float32) * rng.uniform(0, 0.02)
+    s = float(m.compute_ssim(jnp.asarray(a), jnp.asarray(b))[0])
+    v = float(m.compute_msssim(jnp.asarray(a), jnp.asarray(b)))
+    assert s <= 1.0 + 1e-6, s
+    assert v <= 1.0 + 1e-6, v
+    assert np.isfinite(s) and np.isfinite(v)
