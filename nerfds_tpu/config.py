@@ -207,6 +207,18 @@ class ModelConfig:
   # predicted normal still chases the density gradient, but the density is
   # no longer shaped by the normal loss. ~25% faster steps.
   stop_target_norm_gradient: bool = False
+  # Speed mode (approximation, quality-gated in BENCHMARKS.md): compute the
+  # ∇σ normal-supervision target only at the k highest-weight samples per
+  # ray (static top-k over stop-gradient'd rendering weights) instead of at
+  # every sample. The reference evaluates the per-point value_and_grad at
+  # ALL samples (models.py:1065-1073) although the norm loss is weighted by
+  # the rendering weights, so low-weight samples pay full second-order AD
+  # cost for a near-zero loss contribution. The main σ forward still covers
+  # every sample; only the expensive grad+second-order path is restricted.
+  # None (default) = exact reference behaviour. Only active for
+  # use_predicted_norm with norm_supervision_type in ('warped', 'direct')
+  # and sigma_gradient_mode in ('vmap', 'naive').
+  norm_grad_topk: Optional[int] = None
 
   # -- derived --------------------------------------------------------------
 

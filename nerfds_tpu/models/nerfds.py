@@ -562,6 +562,32 @@ class NerfDSModel:
       return jax.checkpoint(sigma_fn, policy=policies[cfg.remat_policy])
     return sigma_fn
 
+  def _pointwise_sigma_grad(self, params, level, pts, warp_in_embed,
+                            hyper_in_embed, hyper_embed, alpha_condition,
+                            hyper_override, extra_params, *, use_warp=True):
+    """vmap(value_and_grad(σ)) over flat ``[N, 3]`` points.
+
+    Returns ``((sigma_raw, aux), grad_pts)`` with per-point ∂σ/∂p. Shared by
+    the full-sample σ path and the ``norm_grad_topk`` restricted path."""
+
+    def single_sigma(p, w_in, h_in, h_emb, a_cond, h_over):
+      expand = lambda v: None if v is None else v[None]
+      f = self.make_sigma_fn(
+          params, level, expand(w_in), expand(h_in), expand(h_emb),
+          expand(a_cond), extra_params, use_warp=use_warp,
+          hyper_override=expand(h_over))
+      s, aux_one = f(p[None])
+      return s[0], jax.tree_util.tree_map(lambda x: x[0], aux_one)
+
+    axis = lambda v: None if v is None else 0
+    return jax.vmap(
+        jax.value_and_grad(single_sigma, has_aux=True),
+        in_axes=(0, axis(warp_in_embed), axis(hyper_in_embed),
+                 axis(hyper_embed), axis(alpha_condition),
+                 axis(hyper_override)))(
+                     pts, warp_in_embed, hyper_in_embed, hyper_embed,
+                     alpha_condition, hyper_override)
+
   # -- the per-level forward ------------------------------------------------
 
   def render_samples(self, params, level, points, z_vals, directions,
@@ -676,6 +702,18 @@ class NerfDSModel:
     if sigma_mode == 'fused' and (alpha_condition is not None
                                   or cfg.activation != 'relu'):
       sigma_mode = 'vmap'  # fused kernel covers the shipped architecture
+    # norm_grad_topk: restrict the per-point grad (and the second-order AD
+    # the outer backward runs through it) to the k highest-weight samples.
+    # The ∇σ is only the supervision TARGET here (the rgb branch consumes
+    # the predicted norm), so the main σ eval below runs forward-only and
+    # the restricted grad eval happens after compositing weights exist.
+    topk_k = None
+    if (compute_sigma_gradient and cfg.norm_grad_topk
+        and cfg.predict_norm and not cfg.use_sigma_gradient
+        and cfg.norm_supervision_type in ('warped', 'direct')
+        and sigma_mode in ('vmap', 'naive')):
+      topk_k = min(int(cfg.norm_grad_topk), num_samples)
+      compute_sigma_gradient = False
     if compute_sigma_gradient and sigma_mode == 'fused':
       # Fully-fused Pallas trunk: one kernel returns σ, heads AND ∂σ/∂feat
       # (hand-derived custom VJP — see pallas/fused_trunk.py). The small
@@ -726,23 +764,9 @@ class NerfDSModel:
         # 'vmap' reuses the screw downstream; 'naive' additionally
         # re-evaluates the warp field per use, reproducing the reference's
         # op count for A/B benchmarks.
-        def single_sigma(p, w_in, h_in, h_emb, a_cond, h_over):
-          expand = lambda v: None if v is None else v[None]
-          f = self.make_sigma_fn(
-              params, level, expand(w_in), expand(h_in), expand(h_emb),
-              expand(a_cond), extra_params, use_warp=use_warp,
-              hyper_override=expand(h_over))
-          s, aux_one = f(p[None])
-          return s[0], jax.tree_util.tree_map(lambda x: x[0], aux_one)
-
-        axis = lambda v: None if v is None else 0
-        (sigma_raw, aux), grad_pts = jax.vmap(
-            jax.value_and_grad(single_sigma, has_aux=True),
-            in_axes=(0, axis(warp_in_embed), axis(hyper_in_embed),
-                     axis(hyper_embed), axis(alpha_condition),
-                     axis(hyper_override)))(
-                         pts, warp_in_embed, hyper_in_embed, hyper_embed,
-                         alpha_condition, hyper_override)
+        (sigma_raw, aux), grad_pts = self._pointwise_sigma_grad(
+            params, level, pts, warp_in_embed, hyper_in_embed, hyper_embed,
+            alpha_condition, hyper_override, extra_params, use_warp=use_warp)
       elif sigma_mode == 'jvp':
         # Forward-mode: linearize once, push 3 basis tangents. σ is
         # pointwise, so tangent_j = ∂σ/∂x_j per point. The outer training
@@ -975,6 +999,39 @@ class NerfDSModel:
 
     warped_points = aux['warped'].reshape(num_rays, num_samples, -1)
     out['warped_points'] = warped_points
+
+    # ---- top-k restricted ∇σ supervision target (norm_grad_topk) ----------
+    if topk_k is not None:
+      w_sg = jax.lax.stop_gradient(weights)
+      _, topk_idx = jax.lax.top_k(w_sg, topk_k)  # [R, k]
+
+      def gather_samples(x_flat):
+        """Per-sample rows [R*S, C] -> the selected [R*k, C]."""
+        if x_flat is None:
+          return None
+        c = x_flat.shape[-1]
+        x_rs = x_flat.reshape(num_rays, num_samples, c)
+        return jnp.take_along_axis(
+            x_rs, topk_idx[..., None], axis=1).reshape(num_rays * topk_k, c)
+
+      pts_k = jnp.take_along_axis(
+          points, topk_idx[..., None], axis=1).reshape(num_rays * topk_k, 3)
+      (_, aux_k), grad_k = self._pointwise_sigma_grad(
+          params, level, pts_k, gather_samples(warp_in_embed),
+          gather_samples(hyper_in_embed), gather_samples(hyper_embed),
+          gather_samples(alpha_condition), gather_samples(hyper_override),
+          extra_params, use_warp=use_warp)
+      if cfg.stop_target_norm_gradient:
+        grad_k = jax.lax.stop_gradient(grad_k)
+      sg_k = math_ops.normalize(-grad_k)
+      screw_k = aux_k.get('screw')
+      if (cfg.norm_supervision_type == 'warped' and use_warp
+          and screw_k is not None):
+        target_k = math_ops.normalize(rigid.rotate(screw_k, sg_k))
+      else:
+        target_k = sg_k
+      out['target_norm'] = target_k.reshape(num_rays, topk_k, 3)
+      out['norm_topk_idx'] = topk_idx
 
     # ---- normal supervision targets ---------------------------------------
     if cfg.predict_norm:

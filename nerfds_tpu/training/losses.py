@@ -147,12 +147,28 @@ def compute_loss_and_stats(
     stats['residual/hyper_reg'] = jnp.mean(jnp.sqrt(hyper_reg_residual))
     loss = loss + train_cfg.hyper_reg_loss_weight * hyper_reg_loss
 
-  if model_cfg.use_predicted_norm and 'predicted_norm' in model_out:
+  if (model_cfg.use_predicted_norm and 'predicted_norm' in model_out
+      and 'target_norm' in model_out):
     weights = jax.lax.stop_gradient(model_out['weights'])
     predicted_norm = model_out['predicted_norm']
     target_norm = model_out['target_norm']
-    norm_diff = jnp.linalg.norm(predicted_norm - target_norm, axis=-1, ord=2)
-    norm_diff_loss = jnp.mean(weights * norm_diff)
+    if 'norm_topk_idx' in model_out:
+      # norm_grad_topk: the target exists only at the k highest-weight
+      # samples; gather the prediction/weights there and keep the full-S
+      # mean normalisation so the loss scale matches the exact path (the
+      # non-selected samples' weighted contributions are the approximation
+      # error, bounded by the discarded weight mass).
+      idx = model_out['norm_topk_idx']
+      predicted_norm = jnp.take_along_axis(
+          predicted_norm, idx[..., None], axis=1)
+      w_k = jnp.take_along_axis(weights, idx, axis=1)
+      norm_diff = jnp.linalg.norm(
+          predicted_norm - target_norm, axis=-1, ord=2)
+      norm_diff_loss = (w_k * norm_diff).sum() / weights.size
+    else:
+      norm_diff = jnp.linalg.norm(
+          predicted_norm - target_norm, axis=-1, ord=2)
+      norm_diff_loss = jnp.mean(weights * norm_diff)
     stats['loss/norm_diff'] = norm_diff_loss
     loss = loss + scalars['norm_loss_weight'] * norm_diff_loss
 

@@ -73,6 +73,9 @@ ABLATIONS = {
                     hyper_use_warp_embed=False),
     'no_hyper': dict(hyper_slice_method='none', use_mask_in_hyper=False),
     'no_x_in_rgb': dict(use_x_in_rgb_condition=False),
+    'topk32': dict(norm_grad_topk=32),
+    'topk16': dict(norm_grad_topk=16),
+    'topk8': dict(norm_grad_topk=8),
     'remat': dict(remat_sigma=True),
     'bf16': dict(compute_dtype='bfloat16'),
 }

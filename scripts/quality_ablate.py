@@ -32,6 +32,8 @@ CASES = {
                        'bf16_zones': ('trunk', 'rgb')},
     'storage_bf16': {'storage_dtype': 'bfloat16'},
     'stop_target_norm': {'stop_target_norm_gradient': True},
+    'topk16': {'norm_grad_topk': 16},
+    'topk8': {'norm_grad_topk': 8},
 }
 
 

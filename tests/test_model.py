@@ -461,3 +461,76 @@ def test_quantize_storage_survives_jit_and_second_order():
   # Identity when disabled.
   np.testing.assert_array_equal(np.asarray(quantize_storage(x, None)),
                                 np.asarray(x))
+
+
+def _norm_loss_for(model, params, rays, extra):
+  """The norm-supervision loss exactly as training/losses.py computes it."""
+  out = model.render(params, rays, jax.random.PRNGKey(7), extra)
+  o = out['fine']
+  w = jax.lax.stop_gradient(o['weights'])
+  pred, tgt = o['predicted_norm'], o['target_norm']
+  if 'norm_topk_idx' in o:
+    idx = o['norm_topk_idx']
+    pred = jnp.take_along_axis(pred, idx[..., None], axis=1)
+    w_sel = jnp.take_along_axis(w, idx, axis=1)
+    return (w_sel * jnp.linalg.norm(pred - tgt, axis=-1)).sum() / w.size
+  return jnp.mean(w * jnp.linalg.norm(pred - tgt, axis=-1))
+
+
+def test_norm_grad_topk_full_k_is_exact(nerf_ds_model):
+  """norm_grad_topk with k == num_samples is a permutation of the exact
+  path: the norm loss AND its parameter gradient (second-order through ∇σ)
+  must match the default path to fp tolerance."""
+  import dataclasses
+  model, params = nerf_ds_model
+  cfg_topk = dataclasses.replace(model.config, norm_grad_topk=64)
+  model_topk = NerfDSModel(config=cfg_topk, num_warp_embeds=4,
+                           num_hyper_embeds=4, near=0.2, far=2.0)
+  rays = make_rays()
+  extra = default_extra_params(model.config)
+
+  loss_exact, grad_exact = jax.value_and_grad(
+      lambda p: _norm_loss_for(model, p, rays, extra))(params)
+  loss_topk, grad_topk = jax.value_and_grad(
+      lambda p: _norm_loss_for(model_topk, p, rays, extra))(params)
+
+  np.testing.assert_allclose(float(loss_topk), float(loss_exact),
+                             rtol=1e-5, atol=1e-7)
+  from jax import flatten_util
+  flat_e, _ = flatten_util.ravel_pytree(grad_exact)
+  flat_t, _ = flatten_util.ravel_pytree(grad_topk)
+  np.testing.assert_allclose(np.asarray(flat_t), np.asarray(flat_e),
+                             rtol=2e-4, atol=2e-6)
+
+
+def test_norm_grad_topk_restricted_shapes_and_quality(nerf_ds_model):
+  """k < S: target exists only at the k selected samples, the selection is
+  the top-k by weight, and the loss approximates the exact value (the
+  discarded weight mass bounds the error)."""
+  import dataclasses
+  model, params = nerf_ds_model
+  k = 3
+  cfg_topk = dataclasses.replace(model.config, norm_grad_topk=k)
+  model_topk = NerfDSModel(config=cfg_topk, num_warp_embeds=4,
+                           num_hyper_embeds=4, near=0.2, far=2.0)
+  rays = make_rays()
+  extra = default_extra_params(model.config)
+
+  out = model_topk.render(params, rays, jax.random.PRNGKey(7), extra)
+  o = out['fine']
+  assert o['target_norm'].shape == (8, k, 3)
+  assert o['norm_topk_idx'].shape == (8, k)
+  assert np.all(np.isfinite(np.asarray(o['target_norm'])))
+  # The selection really is the k largest weights per ray.
+  w = np.asarray(o['weights'])
+  idx = np.asarray(o['norm_topk_idx'])
+  for r in range(w.shape[0]):
+    top = set(np.argsort(w[r])[::-1][:k].tolist())
+    assert set(idx[r].tolist()) == top
+  # Coarse level has 6 samples; k=3 restricts there too.
+  assert out['coarse']['target_norm'].shape == (8, k, 3)
+
+  loss_exact = float(_norm_loss_for(model, params, rays, extra))
+  loss_topk = float(_norm_loss_for(model_topk, params, rays, extra))
+  # Selected weight mass dominates, so the loss is close in relative terms.
+  assert abs(loss_topk - loss_exact) <= 0.35 * abs(loss_exact) + 1e-6
