@@ -17,6 +17,12 @@ from nerfds_tpu.config import ModelConfig, TrainConfig
 from nerfds_tpu.ops import math as math_ops
 from nerfds_tpu.ops import rendering
 
+# Empty-space mask penalty gate (reference training.py:373): samples whose
+# compositing α is below this threshold count as empty space; the sigmoid
+# steepness makes the gate a soft step.
+EMPTY_ALPHA_THRESHOLD = 0.1
+EMPTY_ALPHA_STEEPNESS = 100.0
+
 
 def percentile_stats(stats: Dict[str, jnp.ndarray], name: str, array,
                      percentile_step: int = 10) -> None:
@@ -188,7 +194,11 @@ def compute_loss_and_stats(
     predicted_mask_loss = (weights * mask_diff).sum(axis=1).mean()
     stats['loss/predicted_mask'] = predicted_mask_loss
     mask_size = jnp.clip(predicted_mask, 0.0, 1.0)
-    low_alpha = 1.0 - jax.nn.sigmoid(100.0 * (alpha - 0.1))
+    # Soft "this sample is empty space" gate: a steep sigmoid step around
+    # α=EMPTY_ALPHA_THRESHOLD (reference training.py:373 hardcodes
+    # `1 - sigmoid(100 * (alpha - 0.1))`).
+    low_alpha = 1.0 - jax.nn.sigmoid(
+        EMPTY_ALPHA_STEEPNESS * (alpha - EMPTY_ALPHA_THRESHOLD))
     empty_space_loss = (low_alpha * mask_size).sum(axis=1).mean()
     stats['loss/empty_space_mask'] = empty_space_loss
     if train_cfg.log_percentiles:
