@@ -410,6 +410,16 @@ def nerf_ds() -> ModelConfig:
   )
 
 
+def nerf_ds_fast() -> ModelConfig:
+  """NeRF-DS with the validated speed mode: `norm_grad_topk=16` restricts
+  the ∇σ normal-supervision target to the 16 highest-weight samples/ray.
+  Measured (BENCHMARKS.md round 4): +6.3% training throughput at batch
+  2048 / −18% wall at batch 1024, novel-time PSNR parity on the quality
+  gate (24.06 vs 23.99 dB). Not bit-parity with the reference math —
+  use `nerf_ds()` for golden-parity work."""
+  return dataclasses.replace(nerf_ds(), norm_grad_topk=16)
+
+
 def nerf_ds_train_config(max_steps: int = 250000,
                          batch_size: int = 512) -> TrainConfig:
   """Training losses/schedules of configs/nerf_ds.gin."""

@@ -39,8 +39,8 @@ def apply_overrides(cfg, overrides, prefix):
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--preset', default='nerf_ds',
-                      choices=['nerf_ds', 'hypernerf', 'vanilla',
-                               'synthetic_smoke'])
+                      choices=['nerf_ds', 'nerf_ds_fast', 'hypernerf',
+                               'vanilla', 'synthetic_smoke'])
   parser.add_argument('--data_dir', default='')
   parser.add_argument('--exp_dir', required=True)
   parser.add_argument('--image_scale', type=int, default=1)
@@ -74,6 +74,10 @@ def main():
 
   if args.preset == 'nerf_ds':
     model_cfg = config_lib.nerf_ds()
+    train_cfg = config_lib.nerf_ds_train_config()
+    datasource_type = 'nerfies'
+  elif args.preset == 'nerf_ds_fast':
+    model_cfg = config_lib.nerf_ds_fast()
     train_cfg = config_lib.nerf_ds_train_config()
     datasource_type = 'nerfies'
   elif args.preset == 'hypernerf':
