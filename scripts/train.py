@@ -19,10 +19,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def parse_value(v: str):
-  try:
-    return json.loads(v)
-  except (json.JSONDecodeError, ValueError):
-    return v
+  """Literal-parses an override value; containers become tuples.
+
+  Accepts Python literals (``()``, ``(4,)``, ``None``) as well as JSON
+  (``[4]``, ``null``, ``3.5``). Sequences are converted to tuples so the
+  frozen configs stay hashable (they are closed over as jit statics)."""
+  import ast
+
+  def tuplify(x):
+    if isinstance(x, (list, tuple)):
+      return tuple(tuplify(e) for e in x)
+    return x
+
+  for parse in (ast.literal_eval, json.loads):
+    try:
+      return tuplify(parse(v))
+    except (ValueError, SyntaxError):
+      continue
+  return v
 
 
 def apply_overrides(cfg, overrides, prefix):
