@@ -75,6 +75,7 @@ ABLATIONS = {
     'no_x_in_rgb': dict(use_x_in_rgb_condition=False),
     'topk32': dict(norm_grad_topk=32),
     'topk16': dict(norm_grad_topk=16),
+    'topk12': dict(norm_grad_topk=12),
     'topk8': dict(norm_grad_topk=8),
     'remat': dict(remat_sigma=True),
     'bf16': dict(compute_dtype='bfloat16'),
