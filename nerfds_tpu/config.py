@@ -201,6 +201,12 @@ class ModelConfig:
   #  'dots'    — matmul outputs with batch dims excluded (memory win only)
   #  'nothing' — recompute everything from the [N,3] points (max DMA win)
   remat_policy: str = 'nothing'
+  # Narrow remat of the FEEDER only (warp field + hyper sheet + posenc):
+  # the outer backward recomputes them from the [N,3] points instead of
+  # loading their saved activations from HBM; the trunk (whose remat lost,
+  # round 2) is NOT included. Round-5 measured run at the DMA wall — see
+  # BENCHMARKS "single-chip envelope".
+  remat_feat: bool = False
   # Speed mode (non-parity): stop-gradient ∇σ before it feeds the normal
   # supervision target. The reference differentiates through ∇σ
   # (second-order AD); stopping it makes the norm loss first-order — the
@@ -220,7 +226,30 @@ class ModelConfig:
   # and sigma_gradient_mode in ('vmap', 'naive').
   norm_grad_topk: Optional[int] = None
 
+  def __post_init__(self):
+    if self.norm_grad_topk is not None and self.norm_grad_topk < 1:
+      raise ValueError(
+          f'norm_grad_topk must be >= 1 or None, got {self.norm_grad_topk} '
+          '(it is a top-k sample count passed to lax.top_k)')
+
   # -- derived --------------------------------------------------------------
+
+  @property
+  def norm_grad_topk_active(self) -> bool:
+    """Whether the configured ``norm_grad_topk`` speed mode can take effect.
+
+    The top-k restriction only applies when the ∇σ is purely a supervision
+    TARGET (``predict_norm`` without ``use_sigma_gradient``), the
+    supervision happens in a frame where restriction is sound
+    ('warped'/'direct'), and the gradient mode materialises per-sample
+    grads ('vmap'/'naive'). Outside those conditions the model silently
+    runs the exact path; NerfDSModel warns at construction."""
+    return bool(
+        self.norm_grad_topk
+        and self.predict_norm
+        and not self.use_sigma_gradient
+        and self.norm_supervision_type in ('warped', 'direct')
+        and self.sigma_gradient_mode in ('vmap', 'naive'))
 
   @property
   def has_hyper(self) -> bool:
@@ -421,14 +450,27 @@ def nerf_ds_fast() -> ModelConfig:
 
 
 def nerf_ds_train_config(max_steps: int = 250000,
-                         batch_size: int = 512) -> TrainConfig:
-  """Training losses/schedules of configs/nerf_ds.gin."""
+                         batch_size: int = 512,
+                         scale_schedules: bool = False) -> TrainConfig:
+  """Training losses/schedules of configs/nerf_ds.gin.
+
+  ``scale_schedules=True`` compresses every schedule horizon by
+  ``max_steps / 250000`` so a shorter run traverses the SAME annealing
+  trajectory (warp alpha, mask sharpening, x-for-rgb windows) the shipped
+  250k-step recipe does; with the default False the horizons stay at the
+  gin constants (reference parity — a short reference run barely anneals).
+  """
+  r = max_steps / 250000 if scale_schedules else 1.0
+
+  def s(steps: int) -> int:
+    return max(int(round(steps * r)), 1)
+
   return TrainConfig(
       batch_size=batch_size,
       max_steps=max_steps,
       lr_schedule=('exponential', 1e-3, 1e-5, max_steps),
       nerf_alpha_schedule=('constant', 8),
-      warp_alpha_schedule=('linear', 0, 4, 50000),
+      warp_alpha_schedule=('linear', 0, 4, s(50000)),
       hyper_alpha_schedule=('constant', 1),
       hyper_sheet_alpha_schedule=('constant', 6),
       use_warp_reg_loss=True,
@@ -436,8 +478,8 @@ def nerf_ds_train_config(max_steps: int = 250000,
       norm_loss_weight_schedule=('constant', 0.001),
       norm_input_alpha_schedule=(
           'piecewise', (
-              (10000, ('constant', 0.0)),
-              (0, ('linear', 0.0, 4.0, 2000)),
+              (s(10000), ('constant', 0.0)),
+              (0, ('linear', 0.0, 4.0, s(2000))),
           )),
       use_back_facing_reg=True,
       back_facing_reg_weight=0.1,
@@ -445,14 +487,14 @@ def nerf_ds_train_config(max_steps: int = 250000,
       mask_ratio_schedule=('constant', 1.0),
       sharp_mask_std_schedule=(
           'piecewise', (
-              (30000, ('exponential', 1.0, 0.1, 30000)),
-              (220000, ('constant', 0.1)),
+              (s(30000), ('exponential', 1.0, 0.1, s(30000))),
+              (s(220000), ('constant', 0.1)),
           )),
       x_for_rgb_alpha_schedule=(
           'piecewise', (
-              (50000, ('constant', 0.0)),
-              (50000, ('linear', 0.0, 4.0, 50000)),
-              (150000, ('constant', 4.0)),
+              (s(50000), ('constant', 0.0)),
+              (s(50000), ('linear', 0.0, 4.0, s(50000))),
+              (s(150000), ('constant', 4.0)),
           )),
   )
 

@@ -112,7 +112,10 @@ def compute_msssim(a, b, max_val: float = 1.0):
 class LpipsMetric:
   """LPIPS via torch (optional; AlexNet features, matching the reference's
   utils/calculate_quantitative_results.py:23-49). Gated: constructing raises
-  ImportError when the `lpips` package is unavailable."""
+  ImportError when the `lpips` package is unavailable (it needs pretrained
+  AlexNet + learned linear weights, which cannot be fetched offline — see
+  README "metrics" note; tests/test_metrics.py covers the prep structurally
+  and importorskips the full metric)."""
 
   def __init__(self, net: str = 'alex'):
     import lpips  # noqa: F401 (optional dependency)
@@ -120,13 +123,24 @@ class LpipsMetric:
     self._torch = torch
     self._model = lpips.LPIPS(net=net)
 
+  @staticmethod
+  def prep(x: np.ndarray, torch=None):
+    """[H, W, C] float image in [0, 1] -> [1, C, H, W] tensor in [-1, 1].
+
+    The exact input convention of the reference's LPIPS call
+    (calculate_quantitative_results.py:34-41: ``im2tensor``-style CHW +
+    [-1, 1] scaling). Separated from __call__ so the convention is
+    testable without the lpips weights."""
+    if torch is None:
+      import torch
+    t = torch.from_numpy(np.asarray(x, np.float32)).permute(2, 0, 1)[None]
+    return t * 2.0 - 1.0
+
   def __call__(self, a: np.ndarray, b: np.ndarray) -> float:
     torch = self._torch
-    def prep(x):
-      t = torch.from_numpy(np.asarray(x, np.float32)).permute(2, 0, 1)[None]
-      return t * 2.0 - 1.0
     with torch.no_grad():
-      return float(self._model(prep(a), prep(b)).item())
+      return float(self._model(self.prep(a, torch),
+                               self.prep(b, torch)).item())
 
 
 def compute_all(pred: np.ndarray, target: np.ndarray,

@@ -33,7 +33,14 @@ def make_render_fn(model: NerfDSModel, mesh=None, use_sample_at_infinity=None,
   ``compute_sigma_gradient=False`` (default) skips the per-point ∇σ during
   rendering — it only feeds the *training* normal-supervision target, while
   the rgb path uses the predicted normal — saving the extra backward pass
-  per chunk. Pass True to also render target_norm maps."""
+  per chunk. Pass True to also render target_norm maps; in that case any
+  configured ``norm_grad_topk`` speed mode is ignored so ``target_norm``
+  always comes back full-sample ``[R, S, 3]`` (the restricted ``[R, k, 3]``
+  + index form is a training-step implementation detail)."""
+  if compute_sigma_gradient and model.config.norm_grad_topk:
+    import dataclasses
+    model = dataclasses.replace(
+        model, config=dataclasses.replace(model.config, norm_grad_topk=None))
 
   def render_chunk(params, rays, key, extra_params):
     return model.render(

@@ -61,6 +61,20 @@ class NerfDSModel:
   near: float = 0.2
   far: float = 2.0
 
+  def __post_init__(self):
+    cfg = self.config
+    if cfg.norm_grad_topk and not cfg.norm_grad_topk_active:
+      import logging
+      logging.getLogger(__name__).warning(
+          'norm_grad_topk=%d is configured but INACTIVE for this config '
+          '(requires predict_norm without use_sigma_gradient, '
+          "norm_supervision_type in ('warped','direct') and "
+          "sigma_gradient_mode in ('vmap','naive'); got "
+          'predict_norm=%s use_sigma_gradient=%s norm_supervision_type=%r '
+          'sigma_gradient_mode=%r) — the exact full-sample path will run.',
+          cfg.norm_grad_topk, cfg.predict_norm, cfg.use_sigma_gradient,
+          cfg.norm_supervision_type, cfg.sigma_gradient_mode)
+
   # -- submodules (all static dataclasses) ----------------------------------
 
   @property
@@ -517,6 +531,16 @@ class NerfDSModel:
       }
       return feat, aux
 
+    if cfg.remat_feat:
+      # Narrow remat (round-5 DMA-wall attack, BENCHMARKS "single-chip
+      # envelope"): recompute the warp-field/hyper-sheet/posenc feeder from
+      # the [N, 3] points in the outer backward instead of round-tripping
+      # its internal activations through HBM. Unlike `remat_sigma` (round-2,
+      # lost: it also recomputes the wide trunk) this stops at the trunk
+      # boundary — the posenc feature blocks and trunk activations are
+      # stored once as before. Second-order-safe (plain jax.checkpoint).
+      return jax.checkpoint(
+          feat_fn, policy=jax.checkpoint_policies.nothing_saveable)
     return feat_fn
 
   def make_sigma_fn(self, params, level, warp_in_embed, hyper_in_embed,
@@ -708,9 +732,7 @@ class NerfDSModel:
     # the predicted norm), so the main σ eval below runs forward-only and
     # the restricted grad eval happens after compositing weights exist.
     topk_k = None
-    if (compute_sigma_gradient and cfg.norm_grad_topk
-        and cfg.predict_norm and not cfg.use_sigma_gradient
-        and cfg.norm_supervision_type in ('warped', 'direct')
+    if (compute_sigma_gradient and cfg.norm_grad_topk_active
         and sigma_mode in ('vmap', 'naive')):
       topk_k = min(int(cfg.norm_grad_topk), num_samples)
       compute_sigma_gradient = False

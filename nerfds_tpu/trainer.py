@@ -281,9 +281,13 @@ class Trainer:
       rays = {k: item[k] for k in ('origins', 'directions', 'mask')}
       rays['metadata'] = {k: v[:1, :1].reshape(1, -1)
                          for k, v in item['metadata'].items()}
+      # keys=('rgb',): each returned key costs a device->host fetch per
+      # chunk (~31 ms RTT over the tunneled backend); PSNR/SSIM only
+      # consume rgb, so fetching the full debug set would 11x the eval
+      # wall time on remote devices.
       out = render_image(self.model, state.params, rays,
                          jax.random.PRNGKey(0), extra, chunk=chunk,
-                         mesh=self.mesh)
+                         mesh=self.mesh, keys=('rgb',))
       m = metrics_lib.compute_all(out['rgb'], item['rgb'])
       if masked:
         fg = np.asarray(item['mask'])[..., 0] > 0.5

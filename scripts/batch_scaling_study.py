@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Large-batch training recipe (SURVEY §7 hard-part 5, VERDICT r4 task 2).
+
+The reference trains at a global batch of 512 rays
+(configs/nerf_ds.gin:4) — far too small to feed a pod. Scaling batch with
+chips needs a validated lr/batch rule. This study holds the TOTAL RAY
+BUDGET fixed (steps x batch = const, so every run sees the same number of
+samples and the same annealing trajectory in epoch terms) and compares:
+
+  batch  512  — the reference operating point, base lr (control)
+  batch 2048  — linear-scaled (lr x4) and sqrt-scaled (lr x2)
+  batch 8192  — linear-scaled (lr x16) and sqrt-scaled (lr x4)
+
+All scaled runs get a 5%-of-steps linear lr warmup (standard large-batch
+practice); batch >= 4096 runs enable `remat_sigma` (identical math,
+recompute-for-memory — the measured round-2 memory lever) so the step fits
+HBM. Paired seeds; verdict = paired delta of novel-time val PSNR vs the
+512 control at the same seed.
+
+Writes artifacts/batch_scaling.json; the winning rule becomes the
+`nerf_ds_pod` preset (config.py).
+"""
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def lr_factor(rule: str, batch: int, base_batch: int = 512) -> float:
+  k = batch / base_batch
+  return {'linear': k, 'sqrt': k ** 0.5, 'none': 1.0}[rule]
+
+
+def make_trainer(batch, steps, rule, seed, source):
+  from nerfds_tpu import config as config_lib
+  from nerfds_tpu.trainer import Trainer
+  f = lr_factor(rule, batch)
+  lr0, lr1 = 1e-3 * f, 1e-4 * f
+  warmup = max(steps // 20, 1)
+  if rule == 'none':
+    lr_schedule = ('exponential', lr0, lr1, steps)
+  else:
+    lr_schedule = ('piecewise', (
+        (warmup, ('linear', lr0 / 10.0, lr0, warmup)),
+        (steps - warmup, ('exponential', lr0, lr1, steps - warmup)),
+    ))
+  model_cfg = config_lib.nerf_ds()
+  if batch >= 4096:
+    model_cfg = dataclasses.replace(model_cfg, remat_sigma=True,
+                                    remat_policy='dots')
+  train_cfg = dataclasses.replace(
+      config_lib.nerf_ds_train_config(max_steps=steps, batch_size=batch),
+      lr_schedule=lr_schedule,
+      warp_alpha_schedule=('linear', 0, 4, steps // 3),
+      norm_input_alpha_schedule=(
+          'piecewise', ((steps // 5, ('constant', 0.0)),
+                        (0, ('linear', 0.0, 4.0, max(steps // 10, 1))))),
+      sharp_mask_std_schedule=(
+          'piecewise', ((steps // 2, ('exponential', 1.0, 0.1, steps // 2)),
+                        (steps, ('constant', 0.1)))),
+      x_for_rgb_alpha_schedule=(
+          'piecewise', ((steps // 3, ('constant', 0.0)),
+                        (steps // 3, ('linear', 0.0, 4.0, steps // 3)),
+                        (steps, ('constant', 4.0)))),
+      random_seed=seed, print_every=max(steps // 10, 1), save_every=10**9)
+  return Trainer.from_experiment(model_cfg, train_cfg, source,
+                                 exp_dir=None, use_mesh=False,
+                                 sampling='auto')
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument('--ray_budget', type=int, default=5_120_000,
+                 help='total rays per run (steps = budget / batch)')
+  p.add_argument('--seeds', default='0,1')
+  p.add_argument('--grid', default='512:none,2048:linear,2048:sqrt,'
+                                   '8192:linear,8192:sqrt')
+  p.add_argument('--out', default=str(REPO / 'artifacts' /
+                                      'batch_scaling.json'))
+  args = p.parse_args()
+
+  from nerfds_tpu.datasets.synthetic import SyntheticDataSource
+  seeds = [int(s) for s in args.seeds.split(',')]
+  grid = []
+  for spec in args.grid.split(','):
+    b, r = spec.split(':')
+    grid.append((int(b), r))
+  source = SyntheticDataSource(num_frames=16, image_size=48,
+                               gt_samples=128)
+
+  rows = []
+  for batch, rule in grid:
+    steps = max(args.ray_budget // batch, 1)
+    trainer = None
+    for seed in seeds:
+      if trainer is None:
+        trainer = make_trainer(batch, steps, rule, seed, source)
+      else:  # reuse the compiled step; only re-seed host-side state
+        trainer.train_cfg = dataclasses.replace(trainer.train_cfg,
+                                                random_seed=seed)
+      t0 = time.time()
+      state = trainer.train(state=trainer.init_state(seed))
+      wall = time.time() - t0
+      val = trainer.eval_psnr(state)
+      row = {'batch': batch, 'rule': rule, 'steps': steps, 'seed': seed,
+             'lr0': 1e-3 * lr_factor(rule, batch),
+             'wall_s': round(wall, 1),
+             'rays_per_sec': round(batch * steps / wall, 1),
+             'val_psnr': round(val['psnr'], 2),
+             'val_ms_ssim': round(val['ms_ssim'], 4)}
+      print(json.dumps(row), flush=True)
+      rows.append(row)
+
+  # Paired deltas vs the 512 control at the same seed.
+  by = {(r['batch'], r['rule'], r['seed']): r for r in rows}
+  summary = {}
+  for batch, rule in grid:
+    if rule == 'none':
+      continue
+    d = [by[(batch, rule, s)]['val_psnr'] - by[(512, 'none', s)]['val_psnr']
+         for s in seeds
+         if (batch, rule, s) in by and (512, 'none', s) in by]
+    if d:
+      summary[f'{batch}:{rule}'] = {
+          'delta_val_psnr_mean': round(sum(d) / len(d), 3),
+          'per_seed': [round(x, 3) for x in d]}
+  print('PAIRED_SUMMARY ' + json.dumps(summary), flush=True)
+  pathlib.Path(args.out).write_text(
+      json.dumps({'rows': rows, 'paired_vs_512': summary}, indent=2) + '\n')
+
+
+if __name__ == '__main__':
+  main()

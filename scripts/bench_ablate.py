@@ -78,6 +78,7 @@ ABLATIONS = {
     'topk12': dict(norm_grad_topk=12),
     'topk8': dict(norm_grad_topk=8),
     'remat': dict(remat_sigma=True),
+    'remat_feat': dict(remat_feat=True),
     'bf16': dict(compute_dtype='bfloat16'),
 }
 

@@ -118,9 +118,13 @@ def main():
         rays['metadata'] = {k: v.reshape(-1, v.shape[-1])[:1]
                             for k, v in item['metadata'].items()}
         from nerfds_tpu.evaluation.render import render_image
+        # keys restricted: every key costs a device->host fetch per chunk
+        # (~31 ms RTT on the tunneled backend) — only what the metrics and
+        # panels consume.
         out = render_image(trainer.model, state.params, rays,
                            jax.random.PRNGKey(0), extra_params,
-                           chunk=args.chunk, mesh=trainer.mesh)
+                           chunk=args.chunk, mesh=trainer.mesh,
+                           keys=('rgb', 'med_depth'))
         per_item[item_id] = metrics_lib.compute_all(
             out['rgb'], item['rgb'], lpips)
         if args.save_images:
@@ -168,7 +172,8 @@ def main():
         rays['metadata'] = dict(sampled_meta)
         out = render_image(trainer.model, state.params, rays,
                            jax.random.PRNGKey(0), extra_params,
-                           chunk=args.chunk, mesh=trainer.mesh)
+                           chunk=args.chunk, mesh=trainer.mesh,
+                           keys=('rgb', 'med_depth'))
         rgb = np.asarray(out['rgb'])
         per_item[item_id] = {'finite': bool(np.isfinite(rgb).all()),
                              'mean_rgb': float(rgb.mean())}

@@ -20,7 +20,10 @@ import numpy as np
 
 def load_image(path):
   from nerfds_tpu.image_utils import image_to_float32, load_image
-  return image_to_float32(load_image(path))[..., :3]
+  img = image_to_float32(load_image(path))
+  if img.ndim == 2:  # grayscale (e.g. the .png.png masks) decodes 2-D
+    img = img[..., None]
+  return img[..., :3]
 
 
 def metrics_for_pair(pred, gt, lpips_metric, mask=None):

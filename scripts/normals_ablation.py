@@ -44,6 +44,31 @@ CASES = {
 }
 
 
+def save_panel(trainer, state, src, item_id, path):
+  """GT | pred panel of one val frame (mechanism-level visual evidence)."""
+  import jax
+  import numpy as np
+  from nerfds_tpu.evaluation.render import render_image
+  from nerfds_tpu.models import default_extra_params
+  from nerfds_tpu.training.step import build_schedules, eval_schedules
+  import PIL.Image
+  item = src.load_item(item_id)
+  rays = {k: item[k] for k in ('origins', 'directions', 'mask')}
+  rays['metadata'] = {k: v[:1, :1].reshape(1, -1)
+                      for k, v in item['metadata'].items()}
+  scalars = eval_schedules(build_schedules(trainer.train_cfg), state.step)
+  extra = dict(default_extra_params(trainer.model.config))
+  for k in ('nerf_alpha', 'warp_alpha', 'hyper_alpha', 'hyper_sheet_alpha',
+            'norm_input_alpha'):
+    extra[k] = scalars[k]
+  out = render_image(trainer.model, state.params, rays,
+                     jax.random.PRNGKey(0), extra, chunk=4096,
+                     mesh=trainer.mesh)
+  panel = np.concatenate([item['rgb'], np.asarray(out['rgb'])], axis=1)
+  PIL.Image.fromarray(
+      (np.clip(panel, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
 def main():
   p = argparse.ArgumentParser()
   p.add_argument('--steps', type=int, default=10000)
@@ -51,8 +76,19 @@ def main():
   p.add_argument('--frames', type=int, default=16)
   p.add_argument('--image_size', type=int, default=64)
   p.add_argument('--exponent', type=float, default=100.0)
-  p.add_argument('--seed', type=int, default=0)
+  p.add_argument('--seeds', default='0', help='comma-separated paired seeds')
+  p.add_argument('--scene', default='emissive',
+                 choices=['emissive', 'mechanism'],
+                 help="'emissive': the round-4 highlight-on-emissive scene. "
+                      "'mechanism': NON-emissive Blinn-Phong surface lit by "
+                      'a CAMERA-ANCHORED light — the highlight moves against '
+                      'the object motion, the condition the NeRF-DS paper '
+                      'claims corrupts mask-free deformation estimation '
+                      '(reference README.md:1-12)')
   p.add_argument('--cases', default='full,ref_radiance,no_normals')
+  p.add_argument('--tag', default='normals_ablation',
+                 help='output file stem under --out')
+  p.add_argument('--save_panels', action='store_true')
   p.add_argument('--out', default=str(REPO / 'artifacts'))
   args = p.parse_args()
 
@@ -61,11 +97,23 @@ def main():
   from nerfds_tpu.trainer import Trainer
 
   steps = args.steps
-  src = SyntheticDataSource(num_frames=args.frames,
-                            image_size=args.image_size,
-                            gt_samples=192, specular=True,
-                            white_background=True,
-                            specular_exponent=args.exponent)
+  if args.scene == 'mechanism':
+    src = SyntheticDataSource(num_frames=args.frames,
+                              image_size=args.image_size,
+                              gt_samples=192, white_background=True,
+                              field_kind='shaded', light_mode='camera',
+                              specular_exponent=args.exponent,
+                              gt_backend='jax')
+  else:
+    src = SyntheticDataSource(num_frames=args.frames,
+                              image_size=args.image_size,
+                              gt_samples=192, specular=True,
+                              white_background=True,
+                              specular_exponent=args.exponent,
+                              gt_backend='jax')
+  seeds = [int(s) for s in args.seeds.split(',')]
+  out_dir = pathlib.Path(args.out)
+  out_dir.mkdir(exist_ok=True)
   rows = []
   for name in args.cases.split(','):
     over = dict(CASES[name], use_white_background=True)
@@ -86,33 +134,51 @@ def main():
             'piecewise', ((steps // 5, ('constant', 0.0)),
                           (steps // 5, ('linear', 0.0, 4.0, steps // 5)),
                           (steps, ('constant', 4.0)))),
-        random_seed=args.seed, print_every=max(steps // 20, 1),
+        random_seed=seeds[0], print_every=max(steps // 20, 1),
         save_every=10 ** 9)
+    # One Trainer per case, reused over seeds: the compiled step is
+    # seed-independent (same trick as quality_ablate.py).
     trainer = Trainer.from_experiment(model_cfg, train_cfg, src,
                                       exp_dir=None, use_mesh=False)
-    t0 = time.time()
-    state = trainer.train()
-    wall = time.time() - t0
-    m_train = trainer.eval_psnr(state, item_ids=src.train_ids[:4],
-                                masked=True)
-    m_val = trainer.eval_psnr(state, masked=True)
-    row = {'case': name, 'steps': steps, 'batch': args.batch,
-           'exponent': args.exponent, 'seed': args.seed,
-           'wall_s': round(wall, 1),
-           'train_psnr': round(m_train['psnr'], 3),
-           'train_masked_psnr': round(m_train.get('masked_psnr',
-                                                  float('nan')), 3),
-           'val_psnr': round(m_val['psnr'], 3),
-           'val_masked_psnr': round(m_val.get('masked_psnr',
-                                              float('nan')), 3),
-           'val_ms_ssim': round(m_val['ms_ssim'], 4)}
-    print(json.dumps(row), flush=True)
-    rows.append(row)
+    for seed in seeds:
+      trainer.train_cfg = dataclasses.replace(trainer.train_cfg,
+                                              random_seed=seed)
+      t0 = time.time()
+      state = trainer.train(state=trainer.init_state(seed))
+      wall = time.time() - t0
+      m_train = trainer.eval_psnr(state, item_ids=src.train_ids[:4],
+                                  masked=True)
+      m_val = trainer.eval_psnr(state, masked=True)
+      row = {'case': name, 'scene': args.scene, 'steps': steps,
+             'batch': args.batch, 'exponent': args.exponent, 'seed': seed,
+             'wall_s': round(wall, 1),
+             'train_psnr': round(m_train['psnr'], 3),
+             'train_masked_psnr': round(m_train.get('masked_psnr',
+                                                    float('nan')), 3),
+             'val_psnr': round(m_val['psnr'], 3),
+             'val_masked_psnr': round(m_val.get('masked_psnr',
+                                                float('nan')), 3),
+             'val_ms_ssim': round(m_val['ms_ssim'], 4)}
+      print(json.dumps(row), flush=True)
+      rows.append(row)
+      if args.save_panels:
+        save_panel(trainer, state, src, src.val_ids[0],
+                   out_dir / f'{args.tag}_{name}_s{seed}.png')
 
-  out_dir = pathlib.Path(args.out)
-  out_dir.mkdir(exist_ok=True)
-  (out_dir / 'normals_ablation.json').write_text(
-      json.dumps(rows, indent=2) + '\n')
+  # Paired deltas vs 'full' at the same seed.
+  by = {(r['case'], r['seed']): r for r in rows}
+  summary = {}
+  for name in {r['case'] for r in rows} - {'full'}:
+    for metric in ('val_masked_psnr', 'val_psnr', 'val_ms_ssim'):
+      d = [by[(name, s)][metric] - by[('full', s)][metric]
+           for s in seeds if (name, s) in by and ('full', s) in by]
+      if d:
+        summary.setdefault(name, {})[f'delta_{metric}'] = {
+            'mean': round(sum(d) / len(d), 3),
+            'per_seed': [round(x, 3) for x in d]}
+  print('PAIRED_SUMMARY ' + json.dumps(summary), flush=True)
+  (out_dir / f'{args.tag}.json').write_text(
+      json.dumps({'rows': rows, 'paired_vs_full': summary}, indent=2) + '\n')
 
 
 if __name__ == '__main__':

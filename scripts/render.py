@@ -28,7 +28,10 @@ def main():
                       help='render every Nth frame')
   parser.add_argument('--camera_path', default='vrig_camera',
                       help='subdir of data_dir with per-frame cameras, or '
-                           '"train" to reuse training cameras')
+                           '"train"/"val" to reuse the dataset split '
+                           'cameras (val = the vrig right-camera protocol; '
+                           'frames are written under frames/<item_id>.png '
+                           'for metrics_pipeline.py GT matching)')
   parser.add_argument('--out', default=None)
   parser.add_argument('--save_raw', action='store_true')
   parser.add_argument('--fps', type=int, default=15)
@@ -76,8 +79,10 @@ def main():
   # Camera path: per-frame json cameras (vrig) or the train cameras.
   frames = []
   debug_frames = []
-  if args.camera_path == 'train':
-    ids = datasource.train_ids[::args.interval]
+  if args.camera_path in ('train', 'val'):
+    ids = (datasource.train_ids if args.camera_path == 'train'
+           else datasource.val_ids)[::args.interval]
+    frame_names = list(ids)
     cameras = [datasource.load_camera(i) for i in ids]
     warp_ids = [datasource.get_warp_id(i) for i in ids]
     masks = [datasource.load_mask(i) for i in ids]
@@ -87,6 +92,7 @@ def main():
     cameras = [datasource.load_camera(p) for p in cam_paths]
     warp_ids = list(range(len(cameras)))
     masks = [None] * len(cameras)
+    frame_names = [f'{i:05d}' for i in range(len(cameras))]
 
   # Evaluate annealing schedules at the checkpoint step (same rule as
   # scripts/eval.py): a mid-training checkpoint renders with the posenc
@@ -112,6 +118,15 @@ def main():
                        mesh=trainer.mesh)
     if args.save_raw:
       np.save(out_dir / f'raw_{i:05d}.npy', out, allow_pickle=True)
+    # Per-frame prediction PNG named like the dataset frame, so
+    # metrics_pipeline.py can match it to rgb/<scale>x ground truth
+    # (the reference's calculate_quantitative_results.py flow).
+    import PIL.Image
+    frames_dir = out_dir / 'frames'
+    frames_dir.mkdir(exist_ok=True)
+    PIL.Image.fromarray(
+        (np.clip(np.asarray(out['rgb']), 0, 1) * 255).astype(np.uint8)
+    ).save(frames_dir / f'{frame_names[i]}.png')
     pred_mask = np.asarray(out.get(
         'ray_predicted_mask', np.zeros((*out['rgb'].shape[:2], 1))))
     debug = viz.image_grid([

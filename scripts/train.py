@@ -67,6 +67,10 @@ def main():
   parser.add_argument('--set', action='append', default=[],
                       metavar='model.field=value',
                       help='dotted overrides, e.g. model.num_fine_samples=64')
+  parser.add_argument('--scale_schedules', action='store_true',
+                      help='compress the 250k-step annealing horizons to '
+                           '--max_steps (same trajectory, shorter run); '
+                           'default keeps the gin constants (parity)')
   parser.add_argument('--no_mesh', action='store_true')
   parser.add_argument('--sampling', default='auto',
                       choices=['auto', 'fused', 'host'],
@@ -86,17 +90,20 @@ def main():
   from nerfds_tpu import datasets as datasets_lib
   from nerfds_tpu.trainer import Trainer
 
+  steps = args.max_steps or 250000
+  base_train_cfg = config_lib.nerf_ds_train_config(
+      max_steps=steps, scale_schedules=args.scale_schedules)
   if args.preset == 'nerf_ds':
     model_cfg = config_lib.nerf_ds()
-    train_cfg = config_lib.nerf_ds_train_config()
+    train_cfg = base_train_cfg
     datasource_type = 'nerfies'
   elif args.preset == 'nerf_ds_fast':
     model_cfg = config_lib.nerf_ds_fast()
-    train_cfg = config_lib.nerf_ds_train_config()
+    train_cfg = base_train_cfg
     datasource_type = 'nerfies'
   elif args.preset == 'hypernerf':
     model_cfg = config_lib.hypernerf()
-    train_cfg = config_lib.nerf_ds_train_config()
+    train_cfg = base_train_cfg
     datasource_type = 'nerfies'
   elif args.preset == 'vanilla':
     model_cfg = config_lib.vanilla_nerf()
@@ -154,7 +161,12 @@ def main():
           f"steps/s={t.get('steps_per_sec', 0):.2f}", flush=True)
 
   state = trainer.train(log_fn=log_fn)
-  metrics = trainer.eval_psnr(state)
+  # Final-eval subset (up to 10 strided val frames): full-split metrics are
+  # scripts/eval.py's job; rendering every val frame of a 100-frame capture
+  # here would stall the CLI for minutes after training ends.
+  val_ids = datasource.val_ids or datasource.train_ids[:1]
+  stride = max(1, len(val_ids) // 10)
+  metrics = trainer.eval_psnr(state, item_ids=val_ids[::stride][:10])
   print('final val metrics:', json.dumps(metrics))
   (Path(args.exp_dir) / 'final_metrics.json').write_text(json.dumps(metrics))
 

@@ -108,3 +108,130 @@ def test_host_iterator(synth):
   assert np.abs(np.asarray(batch['origins'])
                 - np.asarray(batch2['origins'])).max() > 0
   it.close()
+
+
+def test_gt_renderer_jax_backend_matches_numpy():
+  """The jitted export renderer is the same math as the numpy
+  characterisation path (synthetic.py _render_image backend='jax')."""
+  from nerfds_tpu.datasets.synthetic import _render_image, make_vrig_camera
+  cam = make_vrig_camera('left', 2, 8, image_size=32)
+  for kwargs in ({'specular': True, 'white_background': True},
+                 {'field_kind': 'shaded', 'light_mode': 'camera'}):
+    a_rgb, a_m = _render_image(cam, 0.4, 0.5, 2.2, num_samples=48, **kwargs)
+    b_rgb, b_m = _render_image(cam, 0.4, 0.5, 2.2, num_samples=48,
+                               backend='jax', **kwargs)
+    np.testing.assert_allclose(a_rgb, b_rgb, atol=1e-5)
+    np.testing.assert_array_equal(a_m, b_m)
+
+
+def test_vrig_camera_undistortion_roundtrip():
+  """The exported vrig cameras have real distortion, and the Newton
+  undistortion inverts it: project(position + t * pixels_to_rays(px)) ≈ px
+  (reference camera.py:75-106 inside a capture, not just the lone
+  fixture)."""
+  from nerfds_tpu.datasets.synthetic import make_vrig_camera
+  for side in ('left', 'right'):
+    cam = make_vrig_camera(side, 7, 100, image_size=480)
+    assert cam.has_radial_distortion and cam.has_tangential_distortion
+    rng = np.random.RandomState(3)
+    pixels = rng.uniform(10, 470, size=(256, 2)).astype(np.float32)
+    dirs = cam.pixels_to_rays(pixels)
+    points = cam.position[None] + np.linspace(0.6, 1.8, 256)[:, None] * dirs
+    reproj = cam.project(points)
+    np.testing.assert_allclose(reproj, pixels, atol=5e-2)
+    # Distortion is doing real work: the undistorted pinhole mapping
+    # disagrees by many pixels at the image edge.
+    pinhole = cam.copy()
+    pinhole.radial_distortion = np.zeros(3, np.float32)
+    pinhole.tangential_distortion = np.zeros(2, np.float32)
+    edge = np.array([[15.0, 15.0], [465.0, 20.0]], np.float32)
+    d_true = cam.pixels_to_rays(edge)
+    d_pin = pinhole.pixels_to_rays(edge)
+    angle = np.degrees(np.arccos((d_true * d_pin).sum(-1).clip(-1, 1)))
+    assert angle.min() > 0.2  # > a few pixels of bending at the edge
+
+
+def test_vrig_dataset_roundtrip(tmp_path_factory):
+  """Full vrig export: distorted rig cameras, raw world coordinates with a
+  nonzero scene center/scale, loader recenters back; rays, masks, points
+  and the novel camera path all round trip (VERDICT round-4 task 1)."""
+  from nerfds_tpu.datasets.synthetic import (VrigSyntheticDataSource,
+                                             write_nerfies_dataset)
+  src = VrigSyntheticDataSource(num_frames=4, image_size=32, gt_samples=48,
+                                gt_backend='jax')
+  out_dir = tmp_path_factory.mktemp('vrig')
+  write_nerfies_dataset(src, out_dir, scene_center=(0.3, -0.2, 1.1),
+                        scene_scale=0.7, camera_path_frames=5)
+  ds = NerfiesDataSource(out_dir, image_scale=1,
+                         test_camera_trajectory='orbit-novel')
+  assert ds.train_ids == [f'left_{i:04d}' for i in range(4)]
+  assert ds.val_ids == [f'right_{i:04d}' for i in range(4)]
+  assert ds.get_camera_id('right_0001') == 1
+  assert ds.get_warp_id('right_0003') == 3
+  # Loader undoes the raw-coordinate export: cameras, rays, points all
+  # come back in scene coordinates.
+  for item_id in ('left_0002', 'right_0000'):
+    cam_a = src.load_camera(item_id)
+    cam_b = ds.load_camera(item_id)
+    np.testing.assert_allclose(cam_a.position, cam_b.position, atol=1e-5)
+    np.testing.assert_allclose(cam_a.orientation, cam_b.orientation,
+                               atol=1e-6)
+    np.testing.assert_allclose(cam_a.radial_distortion,
+                               cam_b.radial_distortion, atol=1e-7)
+    item_a = src.load_item(item_id)
+    item_b = ds.load_item(item_id)
+    np.testing.assert_allclose(item_a['directions'], item_b['directions'],
+                               atol=1e-5)
+    np.testing.assert_allclose(item_a['origins'], item_b['origins'],
+                               atol=1e-5)
+    assert np.abs(item_a['rgb'] - item_b['rgb']).max() < 2.5 / 255
+    np.testing.assert_allclose(item_a['mask'], item_b['mask'], atol=1 / 255)
+    assert item_b['metadata']['warp'][0, 0, 0] == src.get_warp_id(item_id)
+  pts_a = src.load_points()
+  pts_b = ds.load_points()
+  np.testing.assert_allclose(pts_a, pts_b, atol=1e-5)
+  # The novel orbit trajectory loads through the test-camera API.
+  cams = ds.load_test_cameras()
+  assert len(cams) == 5
+  assert cams[0].image_shape == (32, 32)
+
+
+def test_generate_test_cameras_modes(tmp_path_factory):
+  """scripts/generate_test_cameras.py: split mirrors the reference tool
+  (utils/generate_test_vrig_camera.py), orbit/lerp synthesize loadable
+  camera-paths trajectories aimed at the scene."""
+  import importlib.util
+  from pathlib import Path as P
+  from nerfds_tpu.datasets.synthetic import (VrigSyntheticDataSource,
+                                             write_nerfies_dataset)
+  spec = importlib.util.spec_from_file_location(
+      'gen_test_cams',
+      P(__file__).resolve().parent.parent / 'scripts' /
+      'generate_test_cameras.py')
+  gen = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(gen)
+
+  src = VrigSyntheticDataSource(num_frames=3, image_size=16, gt_samples=16,
+                                gt_backend='jax')
+  out_dir = tmp_path_factory.mktemp('vrig_gen')
+  write_nerfies_dataset(src, out_dir, scene_center=(0.2, 0.1, -0.4),
+                        scene_scale=0.8)
+  gen.mode_split(out_dir)
+  assert sorted(p.name for p in (out_dir / 'train_camera').glob('*.json')) \
+      == [f'left_{i:04d}.json' for i in range(3)]
+  assert len(list((out_dir / 'vrig_camera').glob('*.json'))) == 3
+
+  gen.mode_orbit(out_dir, 'orbit-gen', frames=7, sweep_deg=50.0)
+  gen.mode_lerp(out_dir, 'lerp-gen', frames=5)
+  ds = NerfiesDataSource(out_dir, image_scale=1,
+                         test_camera_trajectory='orbit-gen')
+  cams = ds.load_test_cameras()
+  assert len(cams) == 7
+  # Every generated camera (scene coords after loader recentering) looks
+  # at the subject: the origin-ish target projects inside the image.
+  for cam in cams:
+    px = cam.project(np.array([[0.0, 0.05, 0.0]], np.float32))[0]
+    assert 0 <= px[0] <= 16 and 0 <= px[1] <= 16
+  ds2 = NerfiesDataSource(out_dir, image_scale=1,
+                          test_camera_trajectory='lerp-gen')
+  assert len(ds2.load_test_cameras()) == 5

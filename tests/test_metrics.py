@@ -92,3 +92,78 @@ def test_msssim_bounded_on_degenerate_patches():
     assert s <= 1.0 + 1e-6, s
     assert v <= 1.0 + 1e-6, v
     assert np.isfinite(s) and np.isfinite(v)
+
+
+def test_lpips_prep_matches_reference_convention():
+  """LpipsMetric.prep reproduces the reference's im2tensor input
+  convention (utils/calculate_quantitative_results.py:23-49): [H,W,C]
+  float [0,1] -> [1,C,H,W] torch tensor scaled to [-1,1]. Structural test:
+  the lpips weights themselves are not fetchable in this environment
+  (README metrics note), so the prep is pinned separately."""
+  torch = pytest.importorskip('torch')
+  from nerfds_tpu.evaluation.metrics import LpipsMetric
+  rng = np.random.RandomState(0)
+  img = rng.rand(8, 6, 3).astype(np.float32)
+  t = LpipsMetric.prep(img, torch)
+  assert tuple(t.shape) == (1, 3, 8, 6)
+  assert float(t.min()) >= -1.0 and float(t.max()) <= 1.0
+  # channel c, pixel (y, x) comes from img[y, x, c], affinely mapped.
+  np.testing.assert_allclose(t[0].permute(1, 2, 0).numpy(),
+                             img * 2.0 - 1.0, atol=1e-7)
+  # black -> -1, white -> +1 (the [-1, 1] domain lpips expects).
+  np.testing.assert_allclose(
+      LpipsMetric.prep(np.zeros((2, 2, 3), np.float32), torch).numpy(), -1.0)
+  np.testing.assert_allclose(
+      LpipsMetric.prep(np.ones((2, 2, 3), np.float32), torch).numpy(), 1.0)
+
+
+def test_lpips_golden_when_available():
+  """Full LPIPS golden values — runs only where the `lpips` package (and
+  its pretrained weights) exist; everywhere else the metric is
+  environment-gated (constructing raises ImportError, which eval.py and
+  metrics_pipeline.py catch and continue without the lpips column)."""
+  pytest.importorskip('lpips')
+  from nerfds_tpu.evaluation.metrics import LpipsMetric
+  metric = LpipsMetric()
+  rng = np.random.RandomState(1)
+  a = rng.rand(64, 64, 3).astype(np.float32)
+  assert metric(a, a) == pytest.approx(0.0, abs=1e-6)
+  b = np.clip(a + 0.3 * rng.randn(64, 64, 3), 0, 1).astype(np.float32)
+  d = metric(a, b)
+  assert 0.0 < d < 1.5  # a real perceptual distance for heavy noise
+
+
+def test_metrics_pipeline_grayscale_mask(tmp_path):
+  """metrics_pipeline handles single-channel .png.png masks: grayscale
+  PNGs decode 2-D and naive [..., :1] slicing silently indexed image
+  COLUMNS (caught on the round-5 vrig run); masked_psnr must be computed
+  on the foreground region."""
+  import importlib.util
+  from pathlib import Path as P
+  import cv2
+  spec = importlib.util.spec_from_file_location(
+      'metrics_pipeline',
+      P(__file__).resolve().parent.parent / 'scripts' / 'metrics_pipeline.py')
+  mp = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mp)
+
+  rng = np.random.RandomState(0)
+  gt = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+  pred = gt.copy()
+  pred[:16] = np.clip(pred[:16].astype(int) + 40, 0, 255).astype(np.uint8)
+  (tmp_path / 'pred').mkdir(); (tmp_path / 'gt').mkdir()
+  (tmp_path / 'mask').mkdir()
+  cv2.imwrite(str(tmp_path / 'pred' / 'f0.png'), pred)
+  cv2.imwrite(str(tmp_path / 'gt' / 'f0.png'), gt)
+  # Grayscale mask, stored inverted (static=255), moving region = top half.
+  mask = np.full((32, 32), 255, np.uint8)
+  mask[:16] = 0
+  cv2.imwrite(str(tmp_path / 'mask' / 'f0.png.png'), mask)
+  rows = mp.evaluate_dir(tmp_path / 'pred', tmp_path / 'gt',
+                         tmp_path / 'mask')
+  assert len(rows) == 1
+  row = rows[0]
+  assert 'masked_psnr' in row
+  # The perturbation lives entirely in the masked (moving) half: masked
+  # MSE is ~2x the whole-image MSE.
+  assert row['masked_mse'] == pytest.approx(2 * row['mse'], rel=0.05)

@@ -464,17 +464,20 @@ def test_quantize_storage_survives_jit_and_second_order():
 
 
 def _norm_loss_for(model, params, rays, extra):
-  """The norm-supervision loss exactly as training/losses.py computes it."""
+  """The norm-supervision loss THROUGH the production path: render, then
+  training/losses.py compute_loss_and_stats (the same gather/normalisation
+  the fused train step differentiates). Extracting stats['loss/norm_diff']
+  isolates the norm term while exercising the real loss code, so a drift in
+  losses.py's top-k gather is caught by the exactness test below."""
+  from nerfds_tpu.training import losses as losses_lib
+  from nerfds_tpu.training.step import build_schedules, eval_schedules
   out = model.render(params, rays, jax.random.PRNGKey(7), extra)
-  o = out['fine']
-  w = jax.lax.stop_gradient(o['weights'])
-  pred, tgt = o['predicted_norm'], o['target_norm']
-  if 'norm_topk_idx' in o:
-    idx = o['norm_topk_idx']
-    pred = jnp.take_along_axis(pred, idx[..., None], axis=1)
-    w_sel = jnp.take_along_axis(w, idx, axis=1)
-    return (w_sel * jnp.linalg.norm(pred - tgt, axis=-1)).sum() / w.size
-  return jnp.mean(w * jnp.linalg.norm(pred - tgt, axis=-1))
+  train_cfg = config_lib.TrainConfig()
+  scalars = eval_schedules(build_schedules(train_cfg), 0)
+  batch = {'rgb': jnp.zeros_like(out['fine']['rgb']), 'mask': rays['mask']}
+  _, stats = losses_lib.compute_loss_and_stats(
+      model.config, train_cfg, out['fine'], batch, scalars)
+  return stats['loss/norm_diff']
 
 
 def test_norm_grad_topk_full_k_is_exact(nerf_ds_model):
@@ -534,3 +537,34 @@ def test_norm_grad_topk_restricted_shapes_and_quality(nerf_ds_model):
   loss_topk = float(_norm_loss_for(model_topk, params, rays, extra))
   # Selected weight mass dominates, so the loss is close in relative terms.
   assert abs(loss_topk - loss_exact) <= 0.35 * abs(loss_exact) + 1e-6
+
+
+def test_remat_feat_is_exact(nerf_ds_model):
+  """`remat_feat` (narrow feeder remat, the round-5 DMA-wall attack) is
+  pure recompute: loss and parameter gradients — including the
+  second-order norm-supervision path — match the default bit-for-bit up
+  to fp tolerance."""
+  import dataclasses
+  model, params = nerf_ds_model
+  m1 = NerfDSModel(config=dataclasses.replace(model.config, remat_feat=True),
+                   num_warp_embeds=4, num_hyper_embeds=4, near=0.2, far=2.0)
+  rays = make_rays()
+  extra = default_extra_params(model.config)
+
+  def loss(m):
+    def f(p):
+      out = m.render(p, rays, jax.random.PRNGKey(7), extra)
+      o = out['fine']
+      return (jnp.mean(o['rgb'] ** 2)
+              + jnp.mean(o['weights'] * jnp.linalg.norm(
+                  o['predicted_norm'] - o['target_norm'], axis=-1)))
+    return jax.value_and_grad(f)
+
+  l0, g0 = loss(model)(params)
+  l1, g1 = loss(m1)(params)
+  np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+  from jax import flatten_util
+  f0, _ = flatten_util.ravel_pytree(g0)
+  f1, _ = flatten_util.ravel_pytree(g1)
+  np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                             rtol=1e-4, atol=1e-6)

@@ -284,7 +284,21 @@ def ref():
   return load_reference()
 
 
+_SETUP_CACHE = {}
+
+
 def _setup(ref, name):
+  # Module-lifetime cache: the gradient-parity tests re-setup the same
+  # configs the forward tests already built (two flax model inits + the
+  # param remap each) — sharing shaves ~1 min off a cold 2-core run.
+  if name in _SETUP_CACHE:
+    return _SETUP_CACHE[name]
+  out = _setup_uncached(ref, name)
+  _SETUP_CACHE[name] = out
+  return out
+
+
+def _setup_uncached(ref, name):
   flags = CONFIGS[name]
   ours_model = build_ours(flags)
   ref_model = build_ref(ref, flags)
@@ -307,8 +321,14 @@ def _setup(ref, name):
   return ours_model, ref_model, ref_params, our_params, rays, flags
 
 
-@pytest.mark.parametrize('name', list(CONFIGS))
-def test_forward_parity(ref, name):
+# Fast path: the two BASELINE anchor configs + the intermediate ladder
+# rungs; the exotic conditioning variants (screw rgb condition, hyper-c
+# color coords) compile two extra model pairs for ~2 min on a cold 2-core
+# host and move to the slow path (--runslow still covers them).
+FAST_CONFIGS = ('vanilla', 'warp', 'hypernerf', 'nerf_ds')
+
+
+def _check_forward_parity(ref, name):
   ours_model, ref_model, ref_params, our_params, rays, flags = _setup(
       ref, name)
   want = run_ref(ref_model, ref_params, rays,
@@ -324,6 +344,19 @@ def test_forward_parity(ref, name):
       g = np.asarray(got[level][k]).reshape(w.shape)
       np.testing.assert_allclose(
           g, w, rtol=2e-4, atol=2e-5, err_msg=f'{name}:{level}/{k}')
+
+
+@pytest.mark.parametrize('name', list(FAST_CONFIGS))
+def test_forward_parity(ref, name):
+  _check_forward_parity(ref, name)
+
+
+@pytest.mark.parametrize('name', [n for n in CONFIGS
+                                  if n not in FAST_CONFIGS])
+@pytest.mark.slow
+def test_forward_parity_exotic(ref, name):
+  """The conditioning variants moved off the fast path (see FAST_CONFIGS)."""
+  _check_forward_parity(ref, name)
 
 
 @pytest.mark.parametrize('name', ['vanilla', 'nerf_ds'])

@@ -118,3 +118,62 @@ def test_full_nerf_ds_trains_on_specular_scene():
   assert fid['num_pixels'] > 20, fid
   assert fid['frac_selected'] > 0.05, fid
   assert np.isfinite(fid['cosine']), fid
+
+
+@pytest.mark.slow
+def test_normal_fidelity_gate_after_training():
+  """Load-bearing normal-fidelity regression gate (VERDICT r4 task 7): a
+  short specular train must produce observation-frame normals that agree
+  with the analytic sphere normal on surface-consistent pixels.
+
+  Recipe scale matters: at 500 steps / 24px the normal branch has not yet
+  oriented (measured surface_cosine −0.17) — the 800-step / 32px verify
+  recipe is the smallest scale where it reliably turns positive (round-2
+  note: +0.44). The floor asserts a generous margin below the calibrated
+  value so seed noise does not flake while a broken normal branch
+  (cosine ≈ 0 or negative) still fails."""
+  import dataclasses
+  import jax
+  from nerfds_tpu import config as config_lib
+  from nerfds_tpu.datasets.synthetic import (SyntheticDataSource,
+                                             _sphere_center)
+  from nerfds_tpu.evaluation.normals import (normal_fidelity,
+                                             sphere_analytic_normal,
+                                             sphere_surface_filter)
+  from nerfds_tpu.models import default_extra_params
+  from nerfds_tpu.trainer import Trainer
+  from nerfds_tpu.training.step import build_schedules, eval_schedules
+
+  steps = 800
+  model_cfg = dataclasses.replace(
+      config_lib.nerf_ds(), use_white_background=True,
+      num_coarse_samples=12, num_fine_samples=12,
+      nerf_trunk_depth=4, nerf_trunk_width=64, se3_trunk_depth=3,
+      se3_trunk_width=32, hyper_sheet_depth=2, hyper_sheet_width=16,
+      mask_mlp_depth=2, mask_mlp_width=32, nerf_skips=(), se3_skips=(),
+      hyper_sheet_skips=(), mask_skips=())
+  train_cfg = dataclasses.replace(
+      config_lib.nerf_ds_train_config(max_steps=steps, batch_size=512,
+                                      scale_schedules=True),
+      lr_schedule=('exponential', 5e-3, 5e-4, steps),
+      warp_alpha_schedule=('linear', 0, 4, 200),
+      sharp_mask_std_schedule=('constant', 0.3),
+      norm_input_alpha_schedule=('constant', 4.0),
+      x_for_rgb_alpha_schedule=('constant', 4.0),
+      print_every=steps, save_every=10**9)
+  src = SyntheticDataSource(num_frames=8, image_size=32, gt_samples=96,
+                            specular=True, white_background=True)
+  trainer = Trainer.from_experiment(model_cfg, train_cfg, src,
+                                    exp_dir=None, use_mesh=True)
+  state = trainer.train()
+  scalars = eval_schedules(build_schedules(train_cfg), state.step)
+  extra = dict(default_extra_params(model_cfg))
+  for k in ('nerf_alpha', 'warp_alpha', 'hyper_alpha', 'hyper_sheet_alpha',
+            'norm_input_alpha'):
+    extra[k] = scalars[k]
+  fid = normal_fidelity(trainer.model, state.params, src, extra,
+                        sphere_analytic_normal(_sphere_center),
+                        item_ids=src.train_ids[:2], chunk=1024,
+                        surface_filter=sphere_surface_filter(_sphere_center))
+  assert fid['surface_pixels'] > 20, fid   # non-empty selection
+  assert fid['surface_cosine'] >= 0.2, fid  # calibrated floor (see docstring)
