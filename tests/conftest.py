@@ -28,7 +28,10 @@ def pytest_addoption(parser):
   parser.addoption(
       "--runslow", action="store_true", default=False,
       help="run tests marked slow (multi-minute trains / subprocess "
-           "pipelines); without it the suite is the <3-min fast path")
+           "pipelines, the exotic parity-ladder rungs); without it the "
+           "suite is the fast path — measured ~11 min wall on a cold "
+           "2-core host (round 5; scales down with cores: compiles "
+           "dominate)")
 
 
 def pytest_configure(config):

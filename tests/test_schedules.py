@@ -90,3 +90,29 @@ def test_schedules_jit_and_vectorize():
 def test_none_schedule_is_zero():
   fn = schedules.from_config(None)
   assert v(fn, 123) == 0.0
+
+
+def test_nerf_ds_train_config_scale_schedules():
+  """scale_schedules=True compresses every annealing horizon by
+  max_steps/250000 (same trajectory, shorter run); default keeps the gin
+  constants (reference parity)."""
+  from nerfds_tpu import config as config_lib
+  base = config_lib.nerf_ds_train_config(max_steps=25000)
+  scaled = config_lib.nerf_ds_train_config(max_steps=25000,
+                                           scale_schedules=True)
+  # Default: gin constants unchanged.
+  assert base.warp_alpha_schedule == ('linear', 0, 4, 50000)
+  # Scaled: 25000/250000 = 1/10 of every horizon.
+  assert scaled.warp_alpha_schedule == ('linear', 0, 4, 5000)
+  assert scaled.norm_input_alpha_schedule[1][0][0] == 1000
+  sharp = scaled.sharp_mask_std_schedule[1]
+  assert sharp[0][0] == 3000 and sharp[0][1][3] == 3000
+  assert sharp[1][0] == 22000
+  x4 = scaled.x_for_rgb_alpha_schedule[1]
+  assert [seg[0] for seg in x4] == [5000, 5000, 15000]
+  # max_steps itself and the lr horizon follow max_steps in both.
+  assert base.lr_schedule[3] == 25000 and scaled.lr_schedule[3] == 25000
+  # The full-length config is identical under either flag.
+  assert (config_lib.nerf_ds_train_config(max_steps=250000,
+                                          scale_schedules=True)
+          == config_lib.nerf_ds_train_config(max_steps=250000))

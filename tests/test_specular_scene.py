@@ -128,10 +128,12 @@ def test_normal_fidelity_gate_after_training():
 
   Recipe scale matters: at 500 steps / 24px the normal branch has not yet
   oriented (measured surface_cosine −0.17) — the 800-step / 32px verify
-  recipe is the smallest scale where it reliably turns positive (round-2
-  note: +0.44). The floor asserts a generous margin below the calibrated
-  value so seed noise does not flake while a broken normal branch
-  (cosine ≈ 0 or negative) still fails."""
+  recipe is the smallest scale where it reliably turns positive.
+  Calibrated on this exact recipe (seed 0, round 5): surface_cosine
+  0.245 with 80 surface pixels. The 0.1 floor leaves seed-noise margin
+  while still failing the broken-branch regimes actually observed
+  (≈ −0.17 under-trained, −0.55 wrong-frame canonical normal, ≈ 0
+  random)."""
   import dataclasses
   import jax
   from nerfds_tpu import config as config_lib
@@ -175,5 +177,5 @@ def test_normal_fidelity_gate_after_training():
                         sphere_analytic_normal(_sphere_center),
                         item_ids=src.train_ids[:2], chunk=1024,
                         surface_filter=sphere_surface_filter(_sphere_center))
-  assert fid['surface_pixels'] > 20, fid   # non-empty selection
-  assert fid['surface_cosine'] >= 0.2, fid  # calibrated floor (see docstring)
+  assert fid['surface_pixels'] > 30, fid   # non-empty selection
+  assert fid['surface_cosine'] >= 0.1, fid  # calibrated floor (see docstring)
