@@ -440,12 +440,14 @@ def nerf_ds() -> ModelConfig:
 
 
 def nerf_ds_fast() -> ModelConfig:
-  """NeRF-DS with the validated speed mode: `norm_grad_topk=16` restricts
-  the ∇σ normal-supervision target to the 16 highest-weight samples/ray.
-  Measured (BENCHMARKS.md round 4): +6.3% training throughput at batch
-  2048 / −18% wall at batch 1024, novel-time PSNR parity on the quality
-  gate (24.06 vs 23.99 dB). Not bit-parity with the reference math —
-  use `nerf_ds()` for golden-parity work."""
+  """NeRF-DS with the `norm_grad_topk=16` speed mode: the ∇σ
+  normal-supervision target restricted to the 16 highest-weight
+  samples/ray. Measured (BENCHMARKS.md rounds 4-5): +6.3% training
+  throughput at batch 2048 / −18% wall at batch 1024, for a mean
+  novel-time PSNR cost ≤~0.5 dB over 3 paired seeds (never flips a run
+  into the collapsed-warp basin; k≤12 does and is not offered). Not
+  bit-parity with the reference math — use `nerf_ds()` for golden-parity
+  work."""
   return dataclasses.replace(nerf_ds(), norm_grad_topk=16)
 
 
