@@ -501,6 +501,42 @@ def nerf_ds_train_config(max_steps: int = 250000,
   )
 
 
+def nerf_ds_pod(num_chips: int = 16,
+                per_chip_batch: int = 512,
+                max_steps: Optional[int] = None) -> Tuple[ModelConfig,
+                                                          TrainConfig]:
+  """Pod-scale preset: the validated large-batch recipe (BENCHMARKS
+  round 5, `scripts/batch_scaling_study.py`).
+
+  Global batch = num_chips x per_chip_batch; lr is LINEAR-scaled from the
+  reference's (1e-3 @ 512) with a 5%-of-steps linear warmup — the rule
+  that won both paired seeds at 4x batch (+3.6 dB mean vs the 512
+  control at equal ray budget; sqrt scaling lost), and steps shrink by
+  the same factor so the total ray budget matches the reference's 250k x
+  512 recipe. Model config is the shipped `nerf_ds()`; single-chip
+  experimentation at batch >= 4096 additionally needs
+  `remat_sigma=True, remat_policy='nothing'` (45 G > 15.75 G HBM
+  otherwise) — on a pod each chip sees only per_chip_batch rays, so the
+  default residuals fit and no remat is enabled here.
+  """
+  batch = num_chips * per_chip_batch
+  k = batch / 512
+  if max_steps is None:
+    max_steps = max(int(round(250000 / k)), 1)
+  lr0, lr1 = 1e-3 * k, 1e-5 * k
+  warmup = max(max_steps // 20, 1)
+  base = nerf_ds_train_config(max_steps=max_steps, batch_size=batch,
+                              scale_schedules=True)
+  train_cfg = dataclasses.replace(
+      base,
+      lr_schedule=('piecewise', (
+          (warmup, ('linear', lr0 / 10.0, lr0, warmup)),
+          (max_steps - warmup,
+           ('exponential', lr0, lr1, max_steps - warmup)),
+      )))
+  return nerf_ds(), train_cfg
+
+
 def to_json(cfg) -> str:
   return json.dumps(dataclasses.asdict(cfg), indent=2, default=str)
 

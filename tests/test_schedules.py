@@ -116,3 +116,25 @@ def test_nerf_ds_train_config_scale_schedules():
   assert (config_lib.nerf_ds_train_config(max_steps=250000,
                                           scale_schedules=True)
           == config_lib.nerf_ds_train_config(max_steps=250000))
+
+
+def test_nerf_ds_pod_preset():
+  """nerf_ds_pod applies the validated large-batch rule: linear lr
+  scaling + 5% warmup, equal total ray budget, compressed schedule
+  horizons (BENCHMARKS round 5)."""
+  from nerfds_tpu import config as config_lib
+  from nerfds_tpu.training.schedules import from_config
+  model_cfg, train_cfg = config_lib.nerf_ds_pod(num_chips=16,
+                                                per_chip_batch=512)
+  assert model_cfg == config_lib.nerf_ds()
+  assert train_cfg.batch_size == 8192
+  assert train_cfg.max_steps == 15625           # 250000 / 16
+  assert train_cfg.max_steps * train_cfg.batch_size == 250000 * 512
+  lr = from_config(train_cfg.lr_schedule)
+  warmup = train_cfg.max_steps // 20
+  # Warmup ramps to the linear-scaled peak (1e-3 * 16), then decays.
+  assert float(lr(0)) == pytest.approx(1.6e-3, rel=1e-5)
+  assert float(lr(warmup)) == pytest.approx(1.6e-2, rel=1e-3)
+  assert float(lr(train_cfg.max_steps)) == pytest.approx(1.6e-4, rel=1e-2)
+  # Horizons compressed to the shorter run.
+  assert train_cfg.warp_alpha_schedule[3] == 3125  # 50000/16
