@@ -160,10 +160,41 @@ def make_train_step(model: NerfDSModel, train_cfg: TrainConfig,
   if donate is None:
     donate = train_cfg.donate_batch
 
+  accum = max(int(train_cfg.accum_steps), 1)
+
   def step_fn(state: TrainState, batch, key) -> Tuple[TrainState, Dict]:
     scalars = eval_schedules(schedules, state.step)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-    (_, stats), grads = grad_fn(state.params, batch, key, scalars)
+    if accum == 1:
+      (_, stats), grads = grad_fn(state.params, batch, key, scalars)
+    else:
+      # Gradient accumulation: scan over `accum` microbatches, averaging
+      # grads before the single optimizer update. Exact vs the monolithic
+      # batch (every loss term is a mean over its rays/points, so the
+      # mean of microbatch gradients IS the full-batch gradient); peak
+      # activation memory scales with the microbatch.
+      def split(x):
+        if x.shape[0] % accum:
+          raise ValueError(
+              f'batch leading dim {x.shape[0]} not divisible by '
+              f'accum_steps={accum}')
+        return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+      micro = jax.tree_util.tree_map(split, batch)
+      keys = jax.random.split(key, accum)
+
+      def body(g_sum, xs):
+        mb, k = xs
+        (_, mb_stats), g = grad_fn(state.params, mb, k, scalars)
+        return jax.tree_util.tree_map(jnp.add, g_sum, g), mb_stats
+
+      zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+      grads_sum, stats_stack = jax.lax.scan(body, zero, (micro, keys))
+      grads = jax.tree_util.tree_map(lambda g: g / accum, grads_sum)
+      # Scalar stats (stacked to [accum]) average; per-sample debug
+      # arrays (histograms) keep the last microbatch's snapshot.
+      stats = jax.tree_util.tree_map(
+          lambda s: s.mean(0) if s.ndim == 1 else s[-1], stats_stack)
     if train_cfg.disable_hyper_grads:
       grads = _freeze_subtree_grads(grads, 'hyper_sheet')
     if train_cfg.grad_max_val > 0 or train_cfg.grad_max_norm > 0:

@@ -12,10 +12,11 @@ samples and the same annealing trajectory in epoch terms) and compares:
   batch 8192  — linear-scaled (lr x16) and sqrt-scaled (lr x4)
 
 All scaled runs get a 5%-of-steps linear lr warmup (standard large-batch
-practice); batch >= 4096 runs enable `remat_sigma` (identical math,
-recompute-for-memory — the measured round-2 memory lever) so the step fits
-HBM. Paired seeds; verdict = paired delta of novel-time val PSNR vs the
-512 control at the same seed.
+practice); batch >= 4096 runs use gradient accumulation
+(`train.accum_steps`, math-exact microbatching — monolithic 8192 needs
+45.19 G HBM, 26.3 G even fully rematerialised, vs 15.75 G on a v5e).
+Paired seeds; verdict = paired delta of novel-time val PSNR vs the 512
+control at the same seed.
 
 Writes artifacts/batch_scaling.json; the winning rule becomes the
 `nerf_ds_pod` preset (config.py).
@@ -50,14 +51,17 @@ def make_trainer(batch, steps, rule, seed, source):
         (steps - warmup, ('exponential', lr0, lr1, steps - warmup)),
     ))
   model_cfg = config_lib.nerf_ds()
+  accum = 1
   if batch >= 4096:
-    # 'dots' still saves the [R*S, width] matmul outputs — measured 45 G
-    # of HBM demand at batch 8192 (compile-time OOM on the 15.75 G v5e).
-    # 'nothing' recomputes the whole sigma path in the backward and fits.
-    model_cfg = dataclasses.replace(model_cfg, remat_sigma=True,
-                                    remat_policy='nothing')
+    # Single-chip batch 8192 x 128 samples OOMs at compile: 45.19 G HBM
+    # with default residuals, still 26.3 G with remat_policy='nothing'.
+    # Gradient accumulation (math-exact, tested) scans 2048-ray
+    # microbatches instead — the same optimizer trajectory as the
+    # monolithic batch.
+    accum = batch // 2048
   train_cfg = dataclasses.replace(
       config_lib.nerf_ds_train_config(max_steps=steps, batch_size=batch),
+      accum_steps=accum,
       lr_schedule=lr_schedule,
       warp_alpha_schedule=('linear', 0, 4, steps // 3),
       norm_input_alpha_schedule=(

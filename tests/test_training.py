@@ -176,3 +176,61 @@ def test_checkpoint_roundtrip(tmp_path, trainer):
                   jax.tree_util.tree_leaves(state_n.params)):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
   mgr.close()
+
+
+def test_accum_steps_matches_monolithic_batch():
+  """Gradient accumulation (train.accum_steps) is exact: with
+  deterministic sampling the accumulated update equals the monolithic
+  full-batch update (every loss term is a per-ray/per-point mean, so
+  averaging microbatch gradients reproduces the full-batch gradient)."""
+  import dataclasses
+  from nerfds_tpu import config as config_lib
+  from nerfds_tpu.models import NerfDSModel
+  from nerfds_tpu.training.step import TrainState, make_train_step
+
+  cfg = dataclasses.replace(
+      config_lib.nerf_ds(), num_coarse_samples=6, num_fine_samples=4,
+      nerf_trunk_depth=2, nerf_trunk_width=32, se3_trunk_depth=2,
+      se3_trunk_width=16, hyper_sheet_depth=2, hyper_sheet_width=16,
+      mask_mlp_depth=2, mask_mlp_width=16, nerf_skips=(), se3_skips=(),
+      hyper_sheet_skips=(), mask_skips=(),
+      use_stratified_sampling=False)  # deterministic z: rng-independent
+  model = NerfDSModel(config=cfg, num_warp_embeds=4, num_hyper_embeds=4,
+                      near=0.2, far=2.0)
+  params = model.init(jax.random.PRNGKey(0))
+  train_cfg = config_lib.nerf_ds_train_config(max_steps=10, batch_size=16)
+
+  rng = np.random.RandomState(0)
+  n = 16
+  directions = rng.randn(n, 3).astype(np.float32)
+  directions /= np.linalg.norm(directions, axis=-1, keepdims=True)
+  batch = {
+      'origins': jnp.asarray(rng.randn(n, 3).astype(np.float32) * 0.1),
+      'directions': jnp.asarray(directions),
+      'rgb': jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+      'mask': jnp.asarray(rng.rand(n, 1).astype(np.float32)),
+      'metadata': {'warp': jnp.asarray(rng.randint(0, 4, (n, 1)),
+                                       jnp.int32)},
+  }
+  key = jax.random.PRNGKey(3)
+  state = TrainState.create(params)
+
+  step_mono = make_train_step(model, train_cfg, donate=False)
+  state_mono, stats_mono = step_mono(state, batch, key)
+  cfg_accum = dataclasses.replace(train_cfg, accum_steps=4)
+  step_acc = make_train_step(model, cfg_accum, donate=False)
+  state_acc, stats_acc = step_acc(state, batch, key)
+
+  from jax import flatten_util
+  a, _ = flatten_util.ravel_pytree(state_mono.params)
+  b, _ = flatten_util.ravel_pytree(state_acc.params)
+  np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                             rtol=2e-4, atol=1e-6)
+  level = 'fine'
+  np.testing.assert_allclose(float(stats_acc[level]['loss/total']),
+                             float(stats_mono[level]['loss/total']),
+                             rtol=1e-5)
+  # Non-divisible batch fails loudly.
+  bad_cfg = dataclasses.replace(train_cfg, accum_steps=3)
+  with pytest.raises(ValueError, match='not divisible'):
+    make_train_step(model, bad_cfg, donate=False)(state, batch, key)
