@@ -342,8 +342,8 @@ class TrainConfig:
   # update. Math-exact vs the full batch (every loss term is a per-ray /
   # per-point mean; tested) while peak activation memory scales with the
   # MICRObatch: batch 8192 x 128 samples needs 45.19 G HBM monolithic
-  # (26.3 G even with full remat) vs ~16x less at accum_steps=4.
-  # Explicit-batch step path (the 'host' sampling mode / make_train_step).
+  # (26.3 G even with full remat). Supported by both step paths (fused
+  # gather and explicit batch).
   accum_steps: int = 1
 
   def __post_init__(self):

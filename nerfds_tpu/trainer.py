@@ -67,9 +67,11 @@ class Trainer:
   (zero steady-state host work); 'host' samples numpy batches in a
   background thread and feeds the explicit-batch step (the robust fallback,
   also the right mode for ray stores larger than HBM); 'auto' (default)
-  picks 'host' on the tunneled 'axon' backend — whose runtime crashes on
-  the in-jit device gather (isolated repro: jit of randint+take over a
-  [36k, 3] store kills the worker) — and 'fused' everywhere else.
+  picks 'host' only when the device platform reports 'axon' (an early
+  tunnel build whose runtime crashed on the in-jit gather; the current
+  tunnel reports plain 'tpu' and runs 'fused' fine — the round-5 20k-step
+  vrig production run trained through the fused gather) and 'fused'
+  everywhere else. Both step paths support train_cfg.accum_steps.
   """
   model: NerfDSModel
   train_cfg: config_lib.TrainConfig

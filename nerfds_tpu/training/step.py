@@ -148,6 +148,44 @@ def make_loss_fn(model: NerfDSModel, train_cfg: TrainConfig
   return loss_fn
 
 
+def _accum_grads(loss_fn, params, batch, key, scalars, accum: int):
+  """value_and_grad over a batch, optionally as `accum` scanned
+  microbatches with averaged gradients (train_cfg.accum_steps).
+
+  Math-exact vs the monolithic batch — every loss term is a mean over its
+  rays/points, so the mean of microbatch gradients IS the full-batch
+  gradient (tested) — while peak activation memory scales with the
+  MICRObatch: the single-chip route to pod-scale global batches (8192
+  monolithic needs 45 G HBM; see scripts/batch_scaling_study.py)."""
+  grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+  if accum <= 1:
+    (_, stats), grads = grad_fn(params, batch, key, scalars)
+    return grads, stats
+
+  def split(x):
+    if x.shape[0] % accum:
+      raise ValueError(f'batch leading dim {x.shape[0]} not divisible '
+                       f'by accum_steps={accum}')
+    return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+  micro = jax.tree_util.tree_map(split, batch)
+  keys = jax.random.split(key, accum)
+
+  def body(g_sum, xs):
+    mb, k = xs
+    (_, mb_stats), g = grad_fn(params, mb, k, scalars)
+    return jax.tree_util.tree_map(jnp.add, g_sum, g), mb_stats
+
+  zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+  grads_sum, stats_stack = jax.lax.scan(body, zero, (micro, keys))
+  grads = jax.tree_util.tree_map(lambda g: g / accum, grads_sum)
+  # Scalar stats (stacked to [accum]) average; per-sample debug arrays
+  # (histograms) keep the last microbatch's snapshot.
+  stats = jax.tree_util.tree_map(
+      lambda s: s.mean(0) if s.ndim == 1 else s[-1], stats_stack)
+  return grads, stats
+
+
 def make_train_step(model: NerfDSModel, train_cfg: TrainConfig,
                     donate: Optional[bool] = None):
   """Compiled step: (state, batch, key) -> (state, stats).
@@ -164,37 +202,8 @@ def make_train_step(model: NerfDSModel, train_cfg: TrainConfig,
 
   def step_fn(state: TrainState, batch, key) -> Tuple[TrainState, Dict]:
     scalars = eval_schedules(schedules, state.step)
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-    if accum == 1:
-      (_, stats), grads = grad_fn(state.params, batch, key, scalars)
-    else:
-      # Gradient accumulation: scan over `accum` microbatches, averaging
-      # grads before the single optimizer update. Exact vs the monolithic
-      # batch (every loss term is a mean over its rays/points, so the
-      # mean of microbatch gradients IS the full-batch gradient); peak
-      # activation memory scales with the microbatch.
-      def split(x):
-        if x.shape[0] % accum:
-          raise ValueError(
-              f'batch leading dim {x.shape[0]} not divisible by '
-              f'accum_steps={accum}')
-        return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
-
-      micro = jax.tree_util.tree_map(split, batch)
-      keys = jax.random.split(key, accum)
-
-      def body(g_sum, xs):
-        mb, k = xs
-        (_, mb_stats), g = grad_fn(state.params, mb, k, scalars)
-        return jax.tree_util.tree_map(jnp.add, g_sum, g), mb_stats
-
-      zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-      grads_sum, stats_stack = jax.lax.scan(body, zero, (micro, keys))
-      grads = jax.tree_util.tree_map(lambda g: g / accum, grads_sum)
-      # Scalar stats (stacked to [accum]) average; per-sample debug
-      # arrays (histograms) keep the last microbatch's snapshot.
-      stats = jax.tree_util.tree_map(
-          lambda s: s.mean(0) if s.ndim == 1 else s[-1], stats_stack)
+    grads, stats = _accum_grads(loss_fn, state.params, batch, key, scalars,
+                                accum)
     if train_cfg.disable_hyper_grads:
       grads = _freeze_subtree_grads(grads, 'hyper_sheet')
     if train_cfg.grad_max_val > 0 or train_cfg.grad_max_norm > 0:
@@ -230,6 +239,7 @@ def make_fused_train_step(model: NerfDSModel, train_cfg: TrainConfig,
   schedules = build_schedules(train_cfg)
   loss_fn = make_loss_fn(model, train_cfg)
   batch_size = train_cfg.batch_size
+  accum = max(int(train_cfg.accum_steps), 1)
 
   def step_fn(state: TrainState, key, store_dict,
               bg_points) -> Tuple[TrainState, Dict]:
@@ -239,12 +249,13 @@ def make_fused_train_step(model: NerfDSModel, train_cfg: TrainConfig,
     if train_cfg.use_background_loss and bg_points is not None:
       n_bg = min(bg_points.shape[0],
                  train_cfg.background_points_batch_size)
+      n_bg -= n_bg % accum  # background points split across microbatches
       idx = jax.random.randint(key_bg_pts, (n_bg,), 0,
                                bg_points.shape[0])
       batch['background_points'] = jnp.take(bg_points, idx, axis=0)
     scalars = eval_schedules(schedules, state.step)
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-    (_, stats), grads = grad_fn(state.params, batch, key_loss, scalars)
+    grads, stats = _accum_grads(loss_fn, state.params, batch, key_loss,
+                                scalars, accum)
     if train_cfg.disable_hyper_grads:
       grads = _freeze_subtree_grads(grads, 'hyper_sheet')
     if train_cfg.grad_max_val > 0 or train_cfg.grad_max_norm > 0:

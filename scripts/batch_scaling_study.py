@@ -55,10 +55,10 @@ def make_trainer(batch, steps, rule, seed, source):
   if batch >= 4096:
     # Single-chip batch 8192 x 128 samples OOMs at compile: 45.19 G HBM
     # with default residuals, still 26.3 G with remat_policy='nothing'.
-    # Gradient accumulation (math-exact, tested) scans 2048-ray
+    # Gradient accumulation (math-exact, tested) scans 1024-ray
     # microbatches instead — the same optimizer trajectory as the
     # monolithic batch.
-    accum = batch // 2048
+    accum = batch // 1024
   train_cfg = dataclasses.replace(
       config_lib.nerf_ds_train_config(max_steps=steps, batch_size=batch),
       accum_steps=accum,
