@@ -516,22 +516,26 @@ def nerf_ds_pod(num_chips: int = 16,
   """Pod-scale preset: the validated large-batch recipe (BENCHMARKS
   round 5, `scripts/batch_scaling_study.py`).
 
-  Global batch = num_chips x per_chip_batch; lr is LINEAR-scaled from the
-  reference's (1e-3 @ 512) with a 5%-of-steps linear warmup — the rule
-  that won both paired seeds at 4x batch (+3.6 dB mean vs the 512
-  control at equal ray budget; sqrt scaling lost), and steps shrink by
-  the same factor so the total ray budget matches the reference's 250k x
-  512 recipe. Model config is the shipped `nerf_ds()`; single-chip
-  experimentation at batch >= 4096 additionally needs
-  `remat_sigma=True, remat_policy='nothing'` (45 G > 15.75 G HBM
-  otherwise) — on a pod each chip sees only per_chip_batch rays, so the
-  default residuals fit and no remat is enabled here.
+  Global batch = num_chips x per_chip_batch; lr scales from the
+  reference's (1e-3 @ 512) by ``min(batch/512, 4)`` with a 5%-of-steps
+  linear warmup. The cap is measured, not guessed: at 4x batch the
+  linear rule (peak 4e-3) won both paired seeds (+3.6 dB mean vs the 512
+  control at equal ray budget) while sqrt lost; at 16x batch linear
+  (1.6e-2) DIVERGED on one seed and lost the other, while the 4e-3 peak
+  (sqrt at 16x) won both (+8.5/+0.7 dB). The optimum absolute peak lr on
+  this objective is ~4e-3 — scale linearly toward it, then hold. Steps
+  shrink by batch/512 so the total ray budget matches the reference's
+  250k x 512 recipe. Model config is the shipped `nerf_ds()`; on a pod
+  each chip sees only per_chip_batch rays so memory is per-chip-normal;
+  for SINGLE-chip experiments at batch >= 4096 set `train.accum_steps`
+  (monolithic 8192 is a 45 G compile-time OOM).
   """
   batch = num_chips * per_chip_batch
   k = batch / 512
+  f = min(k, 4.0)
   if max_steps is None:
     max_steps = max(int(round(250000 / k)), 1)
-  lr0, lr1 = 1e-3 * k, 1e-5 * k
+  lr0, lr1 = 1e-3 * f, 1e-5 * f
   warmup = max(max_steps // 20, 1)
   base = nerf_ds_train_config(max_steps=max_steps, batch_size=batch,
                               scale_schedules=True)

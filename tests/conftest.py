@@ -29,7 +29,7 @@ def pytest_addoption(parser):
       "--runslow", action="store_true", default=False,
       help="run tests marked slow (multi-minute trains / subprocess "
            "pipelines, the exotic parity-ladder rungs); without it the "
-           "suite is the fast path — measured ~11 min wall on a cold "
+           "suite is the fast path — measured ~13 min wall on a cold "
            "2-core host (round 5; scales down with cores: compiles "
            "dominate)")
 
